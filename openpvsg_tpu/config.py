@@ -1,0 +1,253 @@
+"""Typed configuration for the OpenPVSG-TPU framework.
+
+Replaces the reference's mmcv python-dict config sprawl (reference:
+configs/*.py with _base_ inheritance) with small dataclasses plus named
+presets. CLI tools accept ``--set key=value`` dotted overrides, covering the
+reference's ``--cfg-options`` capability.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from openpvsg_tpu import NUM_CLASSES, NUM_RELATIONS, NUM_STUFF_CLASSES, NUM_THING_CLASSES
+
+
+@dataclass(frozen=True)
+class BackboneConfig:
+    depth: int = 50
+    # norm: 'frozen_bn' (IPS: BN requires_grad=False + norm_eval), 'sync_bn'
+    # (VPS: stats pmean'd over the data mesh axis), or 'gn'.
+    norm: str = "frozen_bn"
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    dtype: str = "float32"  # compute dtype; params always float32
+
+
+@dataclass(frozen=True)
+class PixelDecoderConfig:
+    """MSDeformAttn pixel decoder (reference config:
+    configs/mask2former/..._custom.py:35-67)."""
+    in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_outs: int = 3
+    encoder_layers: int = 6
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    ffn_channels: int = 1024
+    num_groups: int = 32  # GN groups
+
+
+@dataclass(frozen=True)
+class TransformerDecoderConfig:
+    """Masked-attention DETR decoder (reference config lines 72-96)."""
+    num_layers: int = 9
+    num_heads: int = 8
+    feat_channels: int = 256
+    ffn_channels: int = 2048
+
+
+@dataclass(frozen=True)
+class Mask2FormerConfig:
+    num_things_classes: int = NUM_THING_CLASSES
+    num_stuff_classes: int = NUM_STUFF_CLASSES
+    num_queries: int = 100
+    num_transformer_feat_level: int = 3
+    backbone: BackboneConfig = field(default_factory=BackboneConfig)
+    pixel_decoder: PixelDecoderConfig = field(default_factory=PixelDecoderConfig)
+    decoder: TransformerDecoderConfig = field(default_factory=TransformerDecoderConfig)
+    # video (VPS) options
+    video: bool = False
+    num_frames: int = 2
+    # loss weights (reference lines 97-117)
+    loss_cls_weight: float = 2.0
+    loss_mask_weight: float = 5.0
+    loss_dice_weight: float = 5.0
+    bg_cls_weight: float = 0.1
+    # point-rend loss sampling (train_cfg, lines 120-123)
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    # fusion / test cfg (lines 135-147)
+    object_mask_thr: float = 0.8
+    iou_thr: float = 0.8
+    max_per_image: int = 100
+    filter_low_score: bool = True
+    # split thing/stuff query supervision (head variant, SURVEY §2.3)
+    split_thing_stuff: bool = False
+
+    @property
+    def num_classes(self) -> int:
+        return self.num_things_classes + self.num_stuff_classes
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """UniTrack MOTS association parameters (reference:
+    configs/unitrack/imagenet_resnet50_s3_womotion_timecycle.py:5-41)."""
+    conf_thres: float = 0.5
+    track_buffer: int = 300
+    use_kalman: bool = True
+    asso_with_motion: bool = False
+    motion_lambda: float = 0.98
+    motion_gated: bool = False
+    dup_iou_thres: float = 0.15
+    confirm_iou_thres: float = 0.7
+    max_mask_area: int = 300
+    feat_size: Tuple[int, int] = (4, 10)
+    first_assoc_thresh: float = 0.9  # appearance association cost limit
+    second_assoc_iou_thresh: float = 0.5
+    prop_flag: bool = False
+    down_factor: int = 8
+    appearance_depth: int = 50  # ResNet depth of the appearance model
+
+
+@dataclass(frozen=True)
+class RelationHeadConfig:
+    """Relation-head hyperparameters (reference: tools/rel_train.py:38-97)."""
+    model_name: str = "transformer"  # vanilla | filter | conv | transformer
+    d_model: int = 256
+    encoder_layers: int = 2
+    encoder_heads: int = 8
+    encoder_ffn: int = 512
+    temporal_heads: int = 4
+    temporal_ffn: int = 1024
+    num_relations: int = NUM_RELATIONS
+    num_top_pairs: int = 100
+    max_tubes: int = 100
+    max_frames: int = 900
+    conv_kernel: int = 5
+    # training
+    lr: float = 1e-4
+    epochs: int = 100
+    accumulation_steps: int = 32
+    loss_prob_weight: float = 5.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Segmenter optimization (reference config lines 163-191 + schedules)."""
+    lr: float = 1e-4
+    weight_decay: float = 0.05
+    backbone_lr_mult: float = 0.1
+    embed_no_decay: bool = True
+    grad_clip: float = 0.01
+    epochs: int = 8
+    lr_step_epochs: Tuple[int, ...] = (7,)
+    lr_gamma: float = 0.1
+    warmup_iters: int = 10
+    warmup_ratio: float = 1e-3
+    samples_per_gpu: int = 32
+    seed: int = 0
+    checkpoint_interval: int = 1
+    log_interval: int = 50
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = "./data"
+    anno_file: str = "./data/pvsg.json"
+    work_dir: str = "./work_dirs"
+    # train pipeline (reference: configs/_base_/datasets/pvsg_vps.py:4-22)
+    train_scale: Tuple[int, int] = (360, 480)  # (h, w), keep_ratio=False
+    crop_size: Tuple[int, int] = (360, 480)
+    flip_prob: float = 0.5
+    pad_divisor: int = 32
+    # normalization: BGR order with to_rgb=False quirk (SURVEY §2.1)
+    mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    to_rgb: bool = False
+    ref_seq_index: Tuple[int, ...] = (0, 1)  # 2-frame VPS clips
+    ref_seq_len_test: int = 2
+    num_workers: int = 4
+
+
+@dataclass(frozen=True)
+class PVSGConfig:
+    """Top-level experiment config."""
+    name: str = "mask2former_ips"
+    model: Mask2FormerConfig = field(default_factory=Mask2FormerConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    relation: RelationHeadConfig = field(default_factory=RelationHeadConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+# ---------------------------------------------------------------------------
+# Presets mirroring the reference configs/ tree
+# ---------------------------------------------------------------------------
+
+def mask2former_ips() -> PVSGConfig:
+    """configs/mask2former/mask2former_r50_lsj_8x2_50e_coco-panoptic_custom.py"""
+    return PVSGConfig(name="mask2former_ips")
+
+
+def mask2former_vps() -> PVSGConfig:
+    """configs/mask2former_vps/mask2former_video_r50.py (2-frame clips,
+    SyncBN backbone, 3-D positional encoding)."""
+    return PVSGConfig(
+        name="mask2former_vps",
+        model=Mask2FormerConfig(
+            video=True,
+            num_frames=2,
+            backbone=BackboneConfig(norm="sync_bn"),
+        ),
+        train=dataclasses.replace(TrainConfig(), samples_per_gpu=16),
+    )
+
+
+def relation_head(model_name: str = "transformer") -> PVSGConfig:
+    return PVSGConfig(
+        name=f"relation_{model_name}",
+        relation=RelationHeadConfig(model_name=model_name),
+    )
+
+
+PRESETS = {
+    "mask2former_ips": mask2former_ips,
+    "mask2former_vps": mask2former_vps,
+    "relation_vanilla": lambda: relation_head("vanilla"),
+    "relation_filter": lambda: relation_head("filter"),
+    "relation_conv": lambda: relation_head("conv"),
+    "relation_transformer": lambda: relation_head("transformer"),
+}
+
+
+def get_config(name: str) -> PVSGConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown config preset '{name}'; have {sorted(PRESETS)}")
+    return PRESETS[name]()
+
+
+def apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> Any:
+    """Apply dotted-path overrides (the --cfg-options equivalent)."""
+    for key, value in overrides.items():
+        parts = key.split(".")
+        cfg = _replace_path(cfg, parts, value)
+    return cfg
+
+
+def _replace_path(obj: Any, parts: List[str], value: Any) -> Any:
+    if len(parts) == 1:
+        cur = getattr(obj, parts[0])
+        if cur is not None and not isinstance(value, type(cur)):
+            if isinstance(cur, bool):
+                value = str(value).lower() in ("1", "true", "yes")
+            elif isinstance(cur, (int, float)):
+                value = type(cur)(value)
+            elif isinstance(cur, tuple):
+                value = tuple(type(cur[0])(v) for v in str(value).split(","))
+        return dataclasses.replace(obj, **{parts[0]: value})
+    child = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _replace_path(child, parts[1:], value)})
+
+
+def parse_set_args(pairs: Sequence[str]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        out[k] = v
+    return out

@@ -1,0 +1,86 @@
+"""Relation-head evaluation: the fast feature-level proxy protocol
+(reference: tools/rel_test.py:16-113) and its aggregation.
+
+The relation model runs jitted on padded shapes; the ranked-triplet R@K
+accounting is host-side (tiny).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from openpvsg_tpu.eval.rel_metrics import (
+    final_metrics, pair_recall_at_k, span_iou)
+from openpvsg_tpu.models.relation.heads import RelationModel
+from openpvsg_tpu.models.relation.utils import (
+    concatenate_sub_obj, generate_pairwise_results, generate_results,
+    pick_top_pairs_eval)
+
+K_VALUES = (20, 50, 100)
+
+
+def evaluate_video(model: RelationModel, params, feats: np.ndarray,
+                   num_top_pairs: int = 100, pairwise: bool = True):
+    """Forward one video: returns (selected_pairs, ranked results)."""
+    out = model.apply({"params": params}, jnp.asarray(feats, jnp.float32))
+    sub = np.asarray(out["sub_feats"])
+    obj = np.asarray(out["obj_feats"])
+    pred_matrix = np.asarray(out["pred_matrix"])
+    selected_pairs = pick_top_pairs_eval(pred_matrix, num_top_pairs)
+    if not selected_pairs:
+        return [], []
+    pair_feats = concatenate_sub_obj(sub, obj, selected_pairs)
+    span_pred, prob = model.apply({"params": params},
+                                  jnp.asarray(pair_feats, jnp.float32),
+                                  method=RelationModel.predict)
+    gen = generate_pairwise_results if pairwise else generate_results
+    results = gen(np.asarray(span_pred), np.asarray(prob), selected_pairs)
+    return selected_pairs, results
+
+
+def evaluate(model: RelationModel, params, dataset,
+             num_top_pairs: int, relation_names: Sequence[str],
+             pairwise: bool = True) -> Dict:
+    """dataset yields {'feats': (N, T, D), 'relations': [...]}. Returns
+    {'pair_recall_20', K: {recall, mean_recall, weak_recall,
+    weak_mean_recall}} (reference: rel_test.py evaluate)."""
+    recall_dict = {
+        K: {idx: {"name": name, "total": 0, "hit": 0, "weak_hit": 0}
+            for idx, name in enumerate(relation_names)}
+        for K in K_VALUES
+    }
+    pair_recalls: List[float] = []
+
+    for item in dataset:
+        feats = np.asarray(item["feats"], dtype=np.float32)
+        gt_relations = item["relations"]
+        selected_pairs, results = evaluate_video(
+            model, params, feats, num_top_pairs, pairwise)
+        gt_pairs = [[int(r["subject_index"]), int(r["object_index"])]
+                    for r in gt_relations]
+        pair_recalls.append(pair_recall_at_k(
+            [tuple(p) for p in selected_pairs],
+            [tuple(p) for p in gt_pairs], 20))
+
+        for gt in gt_relations:
+            rel_key = (int(gt["subject_index"]), int(gt["object_index"]),
+                       int(gt["relation"]))
+            for K in K_VALUES:
+                recall_dict[K][rel_key[2]]["total"] += 1
+            for idx, result in enumerate(results):
+                if (result["subject_index"], result["object_index"],
+                        result["relation"]) == rel_key:
+                    t_iou = span_iou(np.asarray(gt["relation_span"]).reshape(-1),
+                                     result["relation_span"])
+                    for K in K_VALUES:
+                        if idx < K:
+                            recall_dict[K][rel_key[2]]["weak_hit"] += 1
+                            if t_iou >= 0.5:
+                                recall_dict[K][rel_key[2]]["hit"] += 1
+                    break
+
+    out = final_metrics(recall_dict, K_VALUES)
+    out["pair_recall_20"] = float(np.mean(pair_recalls)) if pair_recalls else 0.0
+    return out

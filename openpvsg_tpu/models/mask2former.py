@@ -1,0 +1,163 @@
+"""Mask2Former segmenter (flax, NHWC) — unified image (IPS) / video (VPS)
+panoptic head.
+
+TPU-native rebuild of the reference detectors and heads:
+  Mask2FormerCustom            models/mask2former/mask2former.py:77-191
+  Mask2FormerHeadCustom        models/mask2former/mask2former_head.py:58-681
+  Mask2FormerVideoCustom       models/mask2former_vps/mask2former.py:85-223
+  Mask2FormerVideoHead         models/mask2former_vps/mask2former_video_head.py
+
+One head covers both tasks: features carry a time axis T (T=1 for IPS); the
+decoder attends over the flattened (T*H_l*W_l) token axis per level with 2-D
+sine PE for images and the 3-D variant for clips (reference:
+SinePositionalEncoding3D). The mask logits are one einsum
+('bqc,bthwc->bqthw') on the MXU.
+
+Outputs are per-layer prediction lists (10 = initial + 9 layers) for deep
+supervision, exactly the aux-loss structure of the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from openpvsg_tpu.config import Mask2FormerConfig
+from openpvsg_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+from openpvsg_tpu.models.position_encoding import sine_pos_encoding, sine_pos_encoding_3d
+from openpvsg_tpu.models.resnet import ResNet
+from openpvsg_tpu.models.transformer_decoder import (
+    MaskedDecoderLayer, compute_attn_mask)
+
+
+class MaskEmbedMLP(nn.Module):
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc0")(x))
+        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x))
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class Mask2FormerHead(nn.Module):
+    cfg: Mask2FormerConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mask_features: jnp.ndarray,
+                 multi_scale_feats: Sequence[jnp.ndarray]):
+        """mask_features: (B, T, H4, W4, C); multi_scale_feats: list of
+        (B, T, h_l, w_l, C) for strides [32, 16, 8].
+
+        Returns (cls_preds, mask_preds, query_feats):
+          cls_preds:  (L+1, B, Q, num_classes+1)
+          mask_preds: (L+1, B, Q, T, H4, W4) logits
+          query_feats:(B, Q, C) final decoder-normed query embeddings
+          (the reference's return_query=True surface, mask2former_head.py:650-681)
+        """
+        cfg = self.cfg
+        C = cfg.decoder.feat_channels
+        Q = cfg.num_queries
+        n_levels = cfg.num_transformer_feat_level
+        B, T = mask_features.shape[0], mask_features.shape[1]
+
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0), (Q, C))
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, C))
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (n_levels, C))
+
+        # flatten each level to (B, T*h*w, C) with positional encodings
+        feats_flat: List[jnp.ndarray] = []
+        pos_flat: List[jnp.ndarray] = []
+        level_hw: List[Tuple[int, int]] = []
+        for lvl, f in enumerate(multi_scale_feats):
+            _, _, h, w, _ = f.shape
+            if T == 1:
+                pos = sine_pos_encoding(h, w, num_feats=C // 2)[None]
+            else:
+                pos = sine_pos_encoding_3d(T, h, w, num_feats=C // 2)
+            pos = pos.reshape(1, T * h * w, C).astype(self.dtype)
+            feats_flat.append(f.reshape(B, T * h * w, C) + level_embed[lvl])
+            pos_flat.append(pos)
+            level_hw.append((h, w))
+
+        query = jnp.broadcast_to(query_feat[None], (B, Q, C)).astype(self.dtype)
+        query_pos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
+
+        decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        cls_embed = nn.Dense(cfg.num_classes + 1, dtype=self.dtype, name="cls_embed")
+        mask_embed = MaskEmbedMLP(C, dtype=self.dtype, name="mask_embed")
+
+        def forward_head(q):
+            out = decoder_norm(q)
+            cls_pred = cls_embed(out)
+            membed = mask_embed(out)
+            mask_pred = jnp.einsum("bqc,bthwc->bqthw", membed, mask_features,
+                                   preferred_element_type=jnp.float32)
+            return cls_pred, mask_pred, out
+
+        cls_preds, mask_preds = [], []
+        cls_p, mask_p, _ = forward_head(query)
+        cls_preds.append(cls_p)
+        mask_preds.append(mask_p)
+
+        final_query = None
+        for layer in range(cfg.decoder.num_layers):
+            lvl = layer % n_levels
+            attn_mask = compute_attn_mask(mask_p, level_hw[lvl])
+            query = MaskedDecoderLayer(cfg.decoder, dtype=self.dtype,
+                                       name=f"layer_{layer}")(
+                query, query_pos, feats_flat[lvl], pos_flat[lvl], attn_mask)
+            cls_p, mask_p, normed = forward_head(query)
+            cls_preds.append(cls_p)
+            mask_preds.append(mask_p)
+            final_query = normed
+
+        return (jnp.stack(cls_preds), jnp.stack(mask_preds), final_query)
+
+
+class Mask2Former(nn.Module):
+    """Backbone + pixel decoder + transformer head.
+
+    Input images: (B, T, H, W, 3) normalized; T=1 for IPS. The backbone runs
+    on the flattened (B*T) frame axis (reference clip reshape:
+    mask2former_vps/mask2former.py:107-110) — on TPU this is the natural
+    large-batch MXU layout.
+    """
+    cfg: Mask2FormerConfig
+    train: bool = False
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        cfg = self.cfg
+        B, T, H, W, _ = images.shape
+        x = images.reshape(B * T, H, W, 3).astype(self.dtype)
+        feats = ResNet(
+            depth=cfg.backbone.depth,
+            out_indices=cfg.backbone.out_indices,
+            norm=cfg.backbone.norm,
+            train=self.train,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="backbone",
+        )(x)
+        mask_features, ms_feats = MSDeformAttnPixelDecoder(
+            cfg.pixel_decoder, dtype=self.dtype, name="pixel_decoder")(feats)
+
+        def unflatten(f):
+            _, h, w, c = f.shape
+            return f.reshape(B, T, h, w, c)
+
+        cls_preds, mask_preds, query_feats = Mask2FormerHead(
+            cfg, dtype=self.dtype, name="head")(
+            unflatten(mask_features), [unflatten(f) for f in ms_feats])
+        return {
+            "cls_preds": cls_preds,      # (L+1, B, Q, K+1)
+            "mask_preds": mask_preds,    # (L+1, B, Q, T, H/4, W/4)
+            "query_feats": query_feats,  # (B, Q, C)
+        }

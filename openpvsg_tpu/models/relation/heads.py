@@ -1,0 +1,224 @@
+"""Relation-head models (flax).
+
+Rebuild of the reference relation heads (reference:
+models/relation_head/base.py, transformer.py, convolution.py):
+
+- ObjectEncoder: 2-layer post-norm transformer encoder (d=256, 8 heads,
+  ff 512). NOTE the reference feeds [N_tubes, T, 256] into a non-batch-first
+  torch encoder, so attention runs ACROSS TUBES independently per frame
+  (base.py:39-40); reproduced faithfully here.
+- PairProposalNetwork: the reference's O(N²) python double loop (base.py:
+  51-62) becomes one broadcast: MLP(concat(s_i, o_j)) == relu(W_s s_i +
+  W_o o_j + b) — a rank-1 decomposition that XLA maps to two matmuls.
+- TemporalTransformer / HandcraftedFilter / Learnable1DConv / VanillaModel:
+  per-pair temporal models producing span logits (P, T, R) and max-pooled
+  relation logits (P, R).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from openpvsg_tpu.models.position_encoding import sine_embed_1d
+from openpvsg_tpu.models.transformer_decoder import MultiheadAttention
+
+
+class TorchEncoderLayer(nn.Module):
+    """torch.nn.TransformerEncoderLayer semantics: post-norm, relu FFN."""
+    d_model: int
+    num_heads: int
+    dim_ff: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, L, D)
+        attn = MultiheadAttention(self.num_heads, self.d_model, self.dtype,
+                                  name="self_attn")(x, x, x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
+        y = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(y)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+class ObjectEncoder(nn.Module):
+    feature_dim: int = 256
+    hidden_dim: int = 512
+    num_heads: int = 8
+    num_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, tube_mask: jnp.ndarray | None = None):
+        """feats: (N_tubes, T, D). Attention across the tube axis per frame
+        (the reference's effective behavior — see module docstring).
+        Returns (N_tubes, T, D)."""
+        x = feats.transpose(1, 0, 2)  # (T, N, D): frames as batch
+        for i in range(self.num_layers):
+            x = TorchEncoderLayer(self.feature_dim, self.num_heads,
+                                  self.hidden_dim, self.dtype,
+                                  name=f"layer_{i}")(x)
+        return x.transpose(1, 0, 2)
+
+
+class PairProposalNetwork(nn.Module):
+    feature_dim: int = 256
+    hidden_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, encoded_subjects: jnp.ndarray,
+                 encoded_objects: jnp.ndarray) -> jnp.ndarray:
+        """(N, T, D) x2 -> (N, N) pair logits, diagonal = 0 (the reference
+        never fills i == j)."""
+        sub = encoded_subjects.max(axis=1)  # (N, D)
+        obj = encoded_objects.max(axis=1)
+        # MLP(concat(s, o)) decomposed: first Dense splits into W_s, W_o
+        d = self.feature_dim
+        w = self.param("fc1_kernel", nn.initializers.lecun_normal(),
+                       (2 * d, self.hidden_dim))
+        b = self.param("fc1_bias", nn.initializers.zeros, (self.hidden_dim,))
+        a_s = sub @ w[:d]                   # (N, H)
+        a_o = obj @ w[d:]                   # (N, H)
+        hidden = nn.relu(a_s[:, None, :] + a_o[None, :, :] + b)  # (N, N, H)
+        score = nn.Dense(1, dtype=self.dtype, name="fc2")(hidden)[..., 0]
+        n = score.shape[0]
+        return score * (1.0 - jnp.eye(n, dtype=score.dtype))
+
+
+class _PredHeads(nn.Module):
+    """Shared fc1-fc2-span/pred head stack used by every temporal model."""
+    input_dim: int
+    num_relations: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.input_dim // 2, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.input_dim // 4, dtype=self.dtype, name="fc2")(x))
+        span = nn.Dense(self.num_relations, dtype=self.dtype, name="span_head")(x)
+        pred = nn.Dense(self.num_relations, dtype=self.dtype, name="pred_head")(x)
+        return span, pred.max(axis=1)
+
+
+class VanillaModel(nn.Module):
+    input_dim: int = 512
+    num_relations: int = 57
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (P, T, 2D) -> (span (P, T, R), relation (P, R))."""
+        return _PredHeads(self.input_dim, self.num_relations, self.dtype,
+                          name="heads")(x)
+
+
+class TemporalTransformer(nn.Module):
+    input_dim: int = 512
+    num_relations: int = 57
+    num_layers: int = 1
+    num_heads: int = 4
+    dim_ff: int = 512
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (P, T, 2D)."""
+        T = x.shape[1]
+        x = x + sine_embed_1d(T, self.input_dim).astype(x.dtype)[None]
+        for i in range(self.num_layers):
+            x = TorchEncoderLayer(self.input_dim, self.num_heads, self.dim_ff,
+                                  self.dtype, name=f"layer_{i}")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        return _PredHeads(self.input_dim, self.num_relations, self.dtype,
+                          name="heads")(x)
+
+
+class HandcraftedFilter(nn.Module):
+    """Fixed binomial 1-D temporal smoothing (depthwise conv, kernel
+    [1/4, 1/2, 1, 1/2, 1/4]) before the heads."""
+    input_dim: int = 512
+    num_relations: int = 57
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = jnp.asarray([0.25, 0.5, 1.0, 0.5, 0.25], dtype=x.dtype)
+        # depthwise conv over time: (P, T, D)
+        pad = 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+        out = sum(kernel[i] * xp[:, i:i + x.shape[1], :] for i in range(5))
+        return _PredHeads(self.input_dim, self.num_relations, self.dtype,
+                          name="heads")(out)
+
+
+class Learnable1DConv(nn.Module):
+    input_dim: int = 512
+    num_relations: int = 57
+    kernel_size: int = 5
+    num_layers: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            x = nn.Conv(self.input_dim, (self.kernel_size,),
+                        padding=((self.kernel_size // 2,) * 2,),
+                        dtype=self.dtype, name=f"conv_{i}")(x)
+            x = nn.relu(x)
+        return _PredHeads(self.input_dim, self.num_relations, self.dtype,
+                          name="heads")(x)
+
+
+class RelationModel(nn.Module):
+    """Full relation head: subject/object encoders + pair proposal +
+    temporal model, mirroring the 4-model bundle of tools/rel_train.py."""
+    model_name: str = "transformer"
+    feature_dim: int = 256
+    pair_hidden: int = 1024
+    num_relations: int = 57
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.subject_encoder = ObjectEncoder(self.feature_dim, dtype=self.dtype)
+        self.object_encoder = ObjectEncoder(self.feature_dim, dtype=self.dtype)
+        self.pair_proposal = PairProposalNetwork(self.feature_dim,
+                                                 self.pair_hidden, self.dtype)
+        self.temporal = build_relation_model(
+            self.model_name, 2 * self.feature_dim, self.num_relations, self.dtype)
+
+    def encode(self, feats):
+        return self.subject_encoder(feats), self.object_encoder(feats)
+
+    def propose_pairs(self, sub_feats, obj_feats):
+        return self.pair_proposal(sub_feats, obj_feats)
+
+    def predict(self, pair_feats):
+        return self.temporal(pair_feats)
+
+    def __call__(self, feats, pair_feats=None):
+        sub_feats, obj_feats = self.encode(feats)
+        pred_matrix = self.propose_pairs(sub_feats, obj_feats)
+        out = {"sub_feats": sub_feats, "obj_feats": obj_feats,
+               "pred_matrix": pred_matrix}
+        if pair_feats is not None:
+            span, prob = self.predict(pair_feats)
+            out.update(span_pred=span, prob=prob)
+        return out
+
+
+def build_relation_model(name: str, input_dim: int, num_relations: int,
+                         dtype: Any = jnp.float32) -> nn.Module:
+    table: dict[str, Callable[..., nn.Module]] = {
+        "vanilla": VanillaModel,
+        "filter": HandcraftedFilter,
+        "conv": Learnable1DConv,
+        "transformer": TemporalTransformer,
+    }
+    if name not in table:
+        raise ValueError(f"Model {name} unsupported")
+    return table[name](input_dim=input_dim, num_relations=num_relations, dtype=dtype)

@@ -1,0 +1,122 @@
+"""ResNet backbone (flax.linen, NHWC).
+
+TPU-native rebuild of the torchvision/mmdet ResNet-50 used by both segmenters
+(reference: configs/mask2former/..._custom.py:15-24 — depth 50, pytorch style,
+BN frozen for IPS / SyncBN for VPS) and by the UniTrack appearance model
+(reference: models/unitrack/model/resnet.py, cut at layer3).
+
+Layout is NHWC (TPU conv-friendly); the weight converter transposes torch
+OIHW kernels at load time. "pytorch style" = stride lives on the 3x3 conv of
+each bottleneck.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# 26 = one bottleneck per stage (test/debug scale)
+STAGE_BLOCKS = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+
+
+class Norm(nn.Module):
+    """Normalization dispatcher: frozen_bn | sync_bn | gn.
+
+    frozen_bn always uses running stats (reference IPS backbone:
+    norm_eval=True + requires_grad=False). sync_bn computes batch stats and
+    cross-replica averages them over `axis_name` when training (reference VPS
+    backbone: SyncBN).
+    """
+    kind: str = "frozen_bn"
+    train: bool = False
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "gn":
+            return nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        use_running = (self.kind == "frozen_bn") or (not self.train)
+        return nn.BatchNorm(
+            use_running_average=use_running,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if (self.kind == "sync_bn" and self.train) else None,
+            dtype=self.dtype,
+        )(x)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm: str = "frozen_bn"
+    train: bool = False
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                      name="conv2")(out)
+        out = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+            identity = Norm(self.norm, self.train, self.axis_name, self.dtype,
+                            name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """Returns the requested stage outputs (strides 4/8/16/32, channels
+    256/512/1024/2048 for depth 50)."""
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    norm: str = "frozen_bn"
+    train: bool = False
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+    num_stages: int = 4
+    # per-stage first-block stride; UniTrack's "s3" appearance model uses
+    # (1, 2, 2) with 3 stages for a stride-8 layer3 output
+    stage_strides: Tuple[int, ...] = (1, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
+        blocks = STAGE_BLOCKS[self.depth][: self.num_stages]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        planes = 64
+        for stage, n_blocks in enumerate(blocks):
+            stride = self.stage_strides[stage]
+            for b in range(n_blocks):
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    downsample=(b == 0),
+                    norm=self.norm,
+                    train=self.train,
+                    axis_name=self.axis_name,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+            if stage in self.out_indices:
+                outs.append(x)
+            planes *= 2
+        return outs

@@ -7,11 +7,18 @@ placement ahead of any jax import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this image's sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon (real TPU), so env vars alone are too late here — the
+# config update below is what actually pins tests to the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
