@@ -1,0 +1,83 @@
+"""Benchmark: Mask2Former VPS clip-inference throughput (frames/sec/chip).
+
+The reference's only emitted throughput number is tracking fps
+(models/unitrack/test_mots_from_mask2former.py:47-49); the BASELINE.json
+north star is frames/sec/chip for VPS inference. This benchmark runs the
+flagship Mask2Former-VPS R-50 forward (backbone + MSDeformAttn pixel decoder
++ 9-layer masked-attention decoder) at the PVSG eval resolution, bfloat16
+compute, and reports processed frames per second on one chip.
+
+Timing methodology: on this image's axon TPU tunnel, block_until_ready does
+not synchronize, so iterations are chained inside one jitted lax.scan whose
+carry feeds back into the input (defeating CSE) and the wall clock is closed
+by forcing a scalar to host. Scan overhead is subtracted via a short run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 50 (the BASELINE.md target: ≥ 50 frames/sec/chip =
+5-FPS source × 10 real-time factor).
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from openpvsg_tpu.config import mask2former_vps
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    cfg = mask2former_vps().model
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # PVSG eval resolution (360, 480) padded to /32 -> (384, 480);
+    # CPU fallback uses a small shape so the bench still runs anywhere.
+    if on_tpu:
+        T, H, W = 4, 384, 480
+        dtype = jnp.bfloat16
+    else:
+        T, H, W = 2, 96, 128
+        dtype = jnp.float32
+
+    model = Mask2Former(cfg, dtype=dtype)
+    x0 = jnp.zeros((1, T, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0)
+
+    @partial(jax.jit, static_argnums=2)
+    def chain(variables, images, iters):
+        def body(carry, _):
+            out = model.apply(variables, images + carry * 1e-12)
+            s = out["mask_preds"][-1].mean().astype(jnp.float32)
+            return s, None
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return s
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((1, T, H, W, 3)) * 0.5, jnp.float32)
+
+    n_short, n_long = (2, 22) if on_tpu else (1, 4)
+    float(chain(variables, images, n_short))  # compile short
+    float(chain(variables, images, n_long))   # compile long
+    t0 = time.perf_counter()
+    float(chain(variables, images, n_short))
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(variables, images, n_long))
+    t_long = time.perf_counter() - t0
+
+    per_iter = (t_long - t_short) / (n_long - n_short)
+    frames_per_sec = T / per_iter
+    target = 50.0  # BASELINE.md: >= 50 frames/sec/chip
+    print(json.dumps({
+        "metric": "vps_inference_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(frames_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

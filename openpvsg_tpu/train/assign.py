@@ -1,0 +1,114 @@
+"""Hungarian target assignment for Mask2Former training.
+
+Rebuild of mmdet's MaskHungarianAssigner use (reference train_cfg:
+configs/mask2former/..._custom.py:119-131; call site
+models/mask2former/mask2former_head.py:148-217 _get_target_single):
+
+  cost = 2.0 * classification cost (−softmax prob at gt label)
+       + 5.0 * sigmoid-BCE mask cost on `num_points` uniformly sampled points
+       + 5.0 * dice cost on the same points
+
+The cost matrix is computed on device over PADDED targets (fixed N_max,
+validity-masked); only the LAP solve crosses to the host through
+jax.pure_callback (the reference equivalent host sync is scipy's
+linear_sum_assignment inside the assigner).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpvsg_tpu import native
+from openpvsg_tpu.ops.sampling import point_sample
+
+BIG_COST = 1e8
+
+
+def _host_lap(cost: np.ndarray) -> np.ndarray:
+    """cost (Q, N) -> assigned target index per query, -1 if unassigned.
+    Padded (invalid) targets carry BIG_COST and are stripped on return."""
+    cost = np.asarray(cost, dtype=np.float64)
+    q, n = cost.shape
+    out = np.full(q, -1, dtype=np.int32)
+    ri, ci = native.linear_sum_assignment(cost)
+    for i, j in zip(ri, ci):
+        if cost[i, j] < BIG_COST / 2:
+            out[i] = j
+    return out
+
+
+def classification_cost(cls_pred: jnp.ndarray, gt_labels: jnp.ndarray) -> jnp.ndarray:
+    """(Q, K+1) logits x (N,) labels -> (Q, N); mmdet ClassificationCost."""
+    probs = jax.nn.softmax(cls_pred, axis=-1)
+    return -probs[:, gt_labels]
+
+
+def mask_bce_cost(mask_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise mean binary-cross-entropy over sampled points.
+
+    mask_pts: (Q, P) logits; tgt_pts: (N, P) binary. -> (Q, N).
+    mmdet CrossEntropyLossCost(use_sigmoid=True).
+    """
+    P = mask_pts.shape[1]
+    pos = jax.nn.log_sigmoid(mask_pts)      # (Q, P)
+    neg = jax.nn.log_sigmoid(-mask_pts)
+    # BCE(q, n) = -[tgt_n · pos_q + (1 - tgt_n) · neg_q] averaged over P
+    cost = -(pos @ tgt_pts.T + neg @ (1.0 - tgt_pts).T)
+    return cost / P
+
+
+def dice_cost(mask_pts: jnp.ndarray, tgt_pts: jnp.ndarray,
+              eps: float = 1.0) -> jnp.ndarray:
+    """Pairwise dice cost with sigmoid activation (mmdet DiceCost,
+    pred_act=True, naive_dice)."""
+    pred = jax.nn.sigmoid(mask_pts)
+    numer = 2.0 * (pred @ tgt_pts.T)
+    denom = pred.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+    return -(numer + eps) / (denom + eps)
+
+
+@partial(jax.jit, static_argnames=("num_points",))
+def hungarian_assign(
+    rng: jax.Array,
+    cls_pred: jnp.ndarray,      # (B, Q, K+1)
+    mask_pred: jnp.ndarray,     # (B, Q, T, H, W) logits
+    gt_labels: jnp.ndarray,     # (B, N) int32, padded
+    gt_masks: jnp.ndarray,      # (B, N, T, H, W) binary float
+    gt_valid: jnp.ndarray,      # (B, N) bool
+    num_points: int = 12544,
+    cls_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+) -> jnp.ndarray:
+    """Returns (B, Q) assigned target index (or -1). Clip masks are matched
+    as one tall (T*H, W) image exactly like the video head
+    (mask2former_video_head.py:162-194)."""
+    B, Q, T, H, W = mask_pred.shape
+    N = gt_labels.shape[1]
+
+    def single(rng, cls_p, mask_p, labels, masks, valid):
+        pts = jax.random.uniform(rng, (1, num_points, 2))
+        # sample pred + target masks on the same uniform points; tall-image
+        # layout (T*H, W)
+        mp = mask_p.reshape(Q, T * H, W)
+        Hm, Wm = masks.shape[-2:]
+        mt = masks.reshape(N, T * Hm, Wm)
+        mp_pts = point_sample(mp[..., None], jnp.broadcast_to(pts, (Q, num_points, 2)))[..., 0]
+        mt_pts = point_sample(mt[..., None], jnp.broadcast_to(pts, (N, num_points, 2)))[..., 0]
+
+        cost = (cls_weight * classification_cost(cls_p, labels)
+                + mask_weight * mask_bce_cost(mp_pts, mt_pts)
+                + dice_weight * dice_cost(mp_pts, mt_pts))
+        cost = jnp.where(valid[None, :], cost, BIG_COST)
+        assigned = jax.pure_callback(
+            _host_lap, jax.ShapeDtypeStruct((Q,), jnp.int32), cost,
+            vmap_method="sequential")
+        return assigned
+
+    rngs = jax.random.split(rng, B)
+    return jax.vmap(single)(rngs, cls_pred, mask_pred, gt_labels,
+                            gt_masks.astype(jnp.float32), gt_valid)

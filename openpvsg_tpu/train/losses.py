@@ -1,0 +1,138 @@
+"""Mask2Former training losses with point-rend sampling.
+
+Rebuild of the reference loss stack (reference:
+models/mask2former/mask2former_head.py:219-353 loss_single + mmdet
+CrossEntropyLoss/DiceLoss; weights at configs/.../custom.py:97-117):
+
+  loss_cls : softmax CE over 127 classes, weight 2.0, background class
+             weight 0.1, avg_factor = Σ class_weight[label]
+  loss_mask: sigmoid BCE on 12544 uncertainty-sampled points, weight 5.0,
+             avg_factor = num_total_masks * num_points
+  loss_dice: naive dice on the same points, weight 5.0,
+             avg_factor = num_total_masks
+
+All queries stay in fixed shapes; unassigned queries contribute through
+weight masks instead of the reference's dynamic positive-only gather.
+`num_total_masks` is the cross-replica mean of the gt-instance count
+(mmdet reduce_mean), produced here by global sums under pjit sharding.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openpvsg_tpu.ops.sampling import point_sample, uncertainty_sampled_points
+
+
+def gather_targets(assigned: jnp.ndarray, gt_labels: jnp.ndarray,
+                   gt_masks: jnp.ndarray, num_classes: int):
+    """assigned: (B, Q) target index or -1. Returns per-query labels
+    (background = num_classes), target masks, and positive weights."""
+    B, Q = assigned.shape
+    pos = assigned >= 0
+    safe = jnp.maximum(assigned, 0)
+    labels = jnp.where(pos, jnp.take_along_axis(gt_labels, safe, axis=1),
+                       num_classes)
+    tgt_masks = jnp.take_along_axis(
+        gt_masks, safe[:, :, None, None, None], axis=1)
+    return labels, tgt_masks, pos
+
+
+def mask2former_layer_loss(
+    rng: jax.Array,
+    cls_pred: jnp.ndarray,     # (B, Q, K+1)
+    mask_pred: jnp.ndarray,    # (B, Q, T, H, W)
+    labels: jnp.ndarray,       # (B, Q)
+    tgt_masks: jnp.ndarray,    # (B, Q, T, H, W) binary
+    pos: jnp.ndarray,          # (B, Q) bool
+    num_total_masks: jnp.ndarray,  # scalar (already cross-replica averaged)
+    num_classes: int,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+    cls_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    bg_cls_weight: float = 0.1,
+) -> Dict[str, jnp.ndarray]:
+    B, Q, T, H, W = mask_pred.shape
+
+    # ---- classification
+    class_weight = jnp.concatenate(
+        [jnp.ones(num_classes), jnp.asarray([bg_cls_weight])])
+    logp = jax.nn.log_softmax(cls_pred, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = class_weight[labels]
+    loss_cls = cls_weight * (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
+
+    # ---- point-sampled mask losses (tall-image layout for clips); pred and
+    # target may live at different resolutions — sampling is in normalized
+    # coordinates (the reference samples full-res GT vs stride-4 preds)
+    Hm, Wm = tgt_masks.shape[-2:]
+    mp = mask_pred.reshape(B * Q, T * H, W)
+    mt = tgt_masks.reshape(B * Q, T * Hm, Wm).astype(jnp.float32)
+    pts = uncertainty_sampled_points(
+        rng, mp, num_points, oversample_ratio, importance_sample_ratio)
+    pts = jax.lax.stop_gradient(pts)
+    mp_pts = point_sample(mp[..., None], pts)[..., 0]   # (BQ, P)
+    mt_pts = point_sample(mt[..., None], pts)[..., 0]
+    posw = pos.reshape(B * Q, 1).astype(jnp.float32)
+
+    bce = jnp.maximum(mp_pts, 0) - mp_pts * mt_pts + jnp.log1p(jnp.exp(-jnp.abs(mp_pts)))
+    loss_mask = mask_weight * (bce * posw).sum() / jnp.maximum(
+        num_total_masks * num_points, 1.0)
+
+    pred = jax.nn.sigmoid(mp_pts)
+    numer = 2.0 * (pred * mt_pts).sum(-1)
+    denom = pred.sum(-1) + mt_pts.sum(-1)
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    loss_dice = dice_weight * (dice * posw[:, 0]).sum() / jnp.maximum(
+        num_total_masks, 1.0)
+
+    return {"loss_cls": loss_cls, "loss_mask": loss_mask, "loss_dice": loss_dice}
+
+
+def mask2former_loss(
+    rng: jax.Array,
+    cls_preds: jnp.ndarray,    # (L, B, Q, K+1) all decoder layers
+    mask_preds: jnp.ndarray,   # (L, B, Q, T, H, W)
+    gt_labels: jnp.ndarray,    # (B, N)
+    gt_masks: jnp.ndarray,     # (B, N, T, Hm, Wm) binary at pred resolution
+    gt_valid: jnp.ndarray,     # (B, N)
+    num_classes: int,
+    num_points: int = 12544,
+    **kw,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Deep-supervised loss over every decoder layer (the reference's
+    aux-loss structure, mask2former_head.py:529-616). Assignment is
+    recomputed per layer, like the reference."""
+    from openpvsg_tpu.train.assign import hungarian_assign
+
+    L = cls_preds.shape[0]
+    # global (cross-replica, since batch is sharded) gt count
+    num_total_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
+
+    total = 0.0
+    logs: Dict[str, jnp.ndarray] = {}
+    for layer in range(L):
+        r_assign, r_pts = jax.random.split(jax.random.fold_in(rng, layer))
+        # assignment is non-differentiable (discrete match via host LAP);
+        # gradients must not flow into the cost computation
+        assigned = hungarian_assign(
+            r_assign,
+            jax.lax.stop_gradient(cls_preds[layer]),
+            jax.lax.stop_gradient(mask_preds[layer]),
+            gt_labels, gt_masks, gt_valid, num_points=num_points)
+        labels, tgt_masks, pos = gather_targets(
+            assigned, gt_labels, gt_masks, num_classes)
+        losses = mask2former_layer_loss(
+            r_pts, cls_preds[layer], mask_preds[layer], labels, tgt_masks,
+            pos, num_total_masks, num_classes, num_points=num_points, **kw)
+        layer_total = sum(losses.values())
+        total = total + layer_total
+        tag = "" if layer == L - 1 else f".d{layer}"
+        for k, v in losses.items():
+            logs[k + tag] = v
+    return total, logs

@@ -1,0 +1,190 @@
+"""Segmenter (IPS/VPS) training: optimizer, train state, pjit data-parallel
+train step.
+
+Rebuild of the reference optimization recipe (reference: configs/
+mask2former/..._custom.py:163-191 + mmcv OptimizerHook):
+
+  AdamW lr 1e-4, weight decay 0.05
+  backbone params: lr × 0.1
+  query_embed / query_feat / level_embed: no weight decay (decay_mult 0)
+  norm weights/biases: no weight decay (norm_decay_mult 0)
+  grad clip: global L2 norm 0.01
+  step LR ×0.1 at epoch boundaries + linear warmup
+
+Data parallelism: the batch is sharded over the mesh's 'data' axis; the
+train step is one jit whose gradient reduction XLA lowers to psums over ICI
+(no DDP wrapper — SURVEY.md §2.10). SyncBN falls out of BatchNorm
+axis_name when the step runs under shard_map; under plain pjit sharding the
+batch-stat reduction is likewise global.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from openpvsg_tpu.config import Mask2FormerConfig, TrainConfig
+from openpvsg_tpu.models.mask2former import Mask2Former
+from openpvsg_tpu.train.losses import mask2former_loss
+
+
+def _param_labels(params) -> Any:
+    """Label tree: 'backbone' / 'no_decay' / 'default' for optimizer groups."""
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = {}
+    for path in flat:
+        joined = "/".join(path)
+        if any(k in joined for k in ("query_embed", "query_feat", "level_embed")):
+            labels[path] = "no_decay"
+        elif joined.startswith("backbone/"):
+            # norm scales/biases inside the backbone also skip decay but keep
+            # the backbone lr multiplier
+            labels[path] = "backbone"
+        else:
+            labels[path] = "default"
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def _decay_mask(params) -> Any:
+    """True where weight decay applies: skip embeds, all biases and norm
+    scales (mmdet norm_decay_mult=0)."""
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {}
+    for path in flat:
+        joined = "/".join(path)
+        leaf = path[-1]
+        no = (
+            any(k in joined for k in ("query_embed", "query_feat", "level_embed"))
+            or leaf in ("bias",)
+            or any(n in joined for n in ("norm", "bn", "gn", "LayerNorm"))
+            or (leaf == "scale")
+        )
+        mask[path] = not no
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    boundaries = {e * steps_per_epoch: cfg.lr_gamma for e in cfg.lr_step_epochs}
+    step_fn = optax.piecewise_constant_schedule(cfg.lr, boundaries)
+
+    def schedule(count):
+        lr = step_fn(count)
+        warm = jnp.minimum(count / jnp.maximum(cfg.warmup_iters, 1), 1.0)
+        scale = cfg.warmup_ratio + (1 - cfg.warmup_ratio) * warm
+        return lr * scale
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int = 1000):
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+
+    def adamw(lr_mult: float, decay: bool):
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(
+                cfg.weight_decay, mask=_decay_mask(params)) if decay
+            else optax.identity(),
+            optax.scale_by_learning_rate(
+                lambda c: schedule(c) * lr_mult),
+        )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {"backbone": adamw(cfg.backbone_lr_mult, True),
+             "no_decay": adamw(1.0, False),
+             "default": adamw(1.0, True)},
+            _param_labels(params)),
+    )
+    return tx
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class SegmenterTrainer:
+    """Owns model/optimizer and the jitted DP train step.
+
+    batch dict (host, numpy):
+      images   (B, T, H, W, 3) normalized
+      gt_labels(B, N) int32 padded
+      gt_masks (B, N, T, H/4, W/4) uint8 at mask-feature resolution
+      gt_valid (B, N) bool
+    """
+
+    def __init__(self, cfg: Mask2FormerConfig, train_cfg: TrainConfig,
+                 mesh=None, steps_per_epoch: int = 1000,
+                 example_shape: Tuple[int, int, int] = (1, 256, 256)):
+        self.cfg = cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        self.model = Mask2Former(cfg, train=True,
+                                 axis_name=None)
+        t, h, w = example_shape
+        variables = self.model.init(
+            jax.random.PRNGKey(train_cfg.seed), jnp.zeros((1, t, h, w, 3)))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.tx = make_optimizer(train_cfg, params, steps_per_epoch)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats, opt_state=self.tx.init(params))
+        self._step_fn = self._build_step()
+
+    def _build_step(self):
+        cfg = self.cfg
+        model = self.model
+        tx = self.tx
+
+        def loss_fn(params, batch_stats, batch, rng):
+            variables = {"params": params}
+            mutable = []
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+                mutable = ["batch_stats"]
+            out, new_vars = model.apply(variables, batch["images"],
+                                        mutable=mutable) if mutable else (
+                model.apply(variables, batch["images"]), {})
+            loss, logs = mask2former_loss(
+                rng, out["cls_preds"], out["mask_preds"],
+                batch["gt_labels"], batch["gt_masks"].astype(jnp.float32),
+                batch["gt_valid"], cfg.num_classes,
+                num_points=cfg.num_points,
+                oversample_ratio=cfg.oversample_ratio,
+                importance_sample_ratio=cfg.importance_sample_ratio,
+                cls_weight=cfg.loss_cls_weight,
+                mask_weight=cfg.loss_mask_weight,
+                dice_weight=cfg.loss_dice_weight,
+                bg_cls_weight=cfg.bg_cls_weight)
+            logs["loss"] = loss
+            return loss, (logs, new_vars.get("batch_stats", batch_stats))
+
+        @jax.jit
+        def step(state: TrainState, batch, rng):
+            (loss, (logs, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                       batch, rng)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt), logs
+
+        return step
+
+    def step(self, batch: Dict, rng: jax.Array):
+        if self.mesh is not None:
+            from openpvsg_tpu.parallel.mesh import shard_batch
+            batch = shard_batch(self.mesh, batch)
+        self.state, logs = self._step_fn(self.state, batch, rng)
+        return logs
