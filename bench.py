@@ -46,21 +46,18 @@ def main():
     x0 = jnp.zeros((1, T, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0)
 
-    @partial(jax.jit, static_argnums=2)
+    @jax.jit
     def chain(variables, images, iters):
-        def body(carry, _):
+        def body(i, carry):
             out = model.apply(variables, images + carry * 1e-12)
-            s = out["mask_preds"][-1].mean().astype(jnp.float32)
-            return s, None
-        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return s
+            return out["mask_preds"][-1].mean().astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal((1, T, H, W, 3)) * 0.5, jnp.float32)
 
     n_short, n_long = (2, 22) if on_tpu else (1, 4)
-    float(chain(variables, images, n_short))  # compile short
-    float(chain(variables, images, n_long))   # compile long
+    float(chain(variables, images, n_short))  # compile once (dynamic count)
     t0 = time.perf_counter()
     float(chain(variables, images, n_short))
     t_short = time.perf_counter() - t0

@@ -1,0 +1,138 @@
+"""Segmenter inference: batched per-frame forward, MinVIS query stitching,
+and panoptic fusion.
+
+Rebuild of the reference test paths:
+  Mask2FormerCustom.simple_test (IPS)      mask2former.py:121-191
+  Mask2FormerVideoCustomMinVIS.simple_test mask2former_min_vis.py:132-258
+  concat_seq                               mask2former_vps/utils.py:14-89
+
+TPU design: the reference decodes one frame per step with a D2H sync each
+(SURVEY §3.2 boundary list); here the whole window of frames runs as ONE
+batched jitted forward (frames on the batch axis), fusion is the vectorized
+device kernel, and only the final segment maps/feature dicts cross to host.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpvsg_tpu import INSTANCE_OFFSET
+from openpvsg_tpu.config import Mask2FormerConfig
+from openpvsg_tpu.models.fusion import panoptic_fusion
+from openpvsg_tpu.models.mask2former import Mask2Former
+from openpvsg_tpu import native
+
+
+def minvis_stitch(embds: np.ndarray) -> np.ndarray:
+    """Frame-to-frame query alignment (reference: match_from_embds,
+    mask2former_min_vis.py:244-258). embds: (T, Q, C) decoder query
+    embeddings. Returns perms (T, Q): perms[t] maps aligned slot -> raw
+    query index at frame t (perms[0] = identity)."""
+    T, Q, _ = embds.shape
+    perms = np.zeros((T, Q), dtype=np.int32)
+    perms[0] = np.arange(Q)
+    prev = embds[0]
+    for t in range(1, T):
+        cur = embds[t]
+        a = prev / np.maximum(np.linalg.norm(prev, axis=1, keepdims=True), 1e-12)
+        b = cur / np.maximum(np.linalg.norm(cur, axis=1, keepdims=True), 1e-12)
+        cost = 1.0 - b @ a.T            # (cur, tgt)
+        ri, ci = native.linear_sum_assignment(cost.T)  # target x current
+        perms[t] = ci
+        prev = cur[ci]
+    return perms
+
+
+class SegmenterInference:
+    """Owns the jitted forward + fusion for a fixed input resolution."""
+
+    def __init__(self, cfg: Mask2FormerConfig, variables,
+                 dtype=jnp.float32):
+        self.cfg = cfg
+        self.model = Mask2Former(cfg, dtype=dtype)
+        self.variables = variables
+        self._fwd = jax.jit(self._forward)
+        self._fuse = jax.jit(self._fusion)
+
+    def _forward(self, variables, frames):
+        """frames: (N, H, W, 3) normalized; each frame independent (T=1).
+        Returns (cls (N, Q, K+1), masks (N, Q, H/4, W/4), query (N, Q, C))."""
+        out = self.model.apply(variables, frames[:, None])
+        return (out["cls_preds"][-1], out["mask_preds"][-1][:, :, 0],
+                out["query_feats"])
+
+    def _fusion(self, cls_logits, mask_logits):
+        return jax.vmap(
+            lambda c, m: panoptic_fusion(
+                c, m, self.cfg.num_things_classes, self.cfg.num_stuff_classes,
+                self.cfg.object_mask_thr, self.cfg.iou_thr)
+        )(cls_logits, mask_logits)
+
+    def forward_frames(self, frames: np.ndarray):
+        """frames: (N, H, W, 3) float32 normalized + padded."""
+        return self._fwd(self.variables, jnp.asarray(frames))
+
+    @staticmethod
+    def upsample_masks(mask_logits: jnp.ndarray, out_hw: Tuple[int, int]):
+        """(N, Q, h, w) -> (N, Q, H, W) bilinear (align_corners=False), the
+        reference's F.interpolate to image size."""
+        N, Q = mask_logits.shape[:2]
+        x = mask_logits.reshape(N * Q, *mask_logits.shape[2:])[..., None]
+        from openpvsg_tpu.ops.resize import resize_bilinear
+        x = resize_bilinear(x, out_hw)[..., 0]
+        return x.reshape(N, Q, *out_hw)
+
+    # ------------------------------------------------------------------
+    def infer_frames_ips(self, frames: np.ndarray, ori_hw: Tuple[int, int]):
+        """IPS path: per-frame panoptic results + per-segment query feats
+        (the simple_test_with_query surface). frames are normalized+padded.
+
+        Returns list of {'pan_results': (H, W) mmdet-format, 'query_feats':
+        {segment_id: 256-d np.ndarray}} per frame.
+        """
+        cls_logits, mask_logits, query = self.forward_frames(frames)
+        masks_up = self.upsample_masks(mask_logits, frames.shape[1:3])
+        masks_up = masks_up[:, :, :ori_hw[0], :ori_hw[1]]
+        fusion = self._fuse(cls_logits, masks_up)
+        return self._package(fusion, query)
+
+    def infer_window_vps(self, frames: np.ndarray, ori_hw: Tuple[int, int]):
+        """VPS MinVIS path: per-frame forward + query stitching + clip-mean
+        logits + per-frame fusion (reference: mask2former_min_vis.py:132-224).
+        """
+        cls_logits, mask_logits, query = self.forward_frames(frames)
+        embds = np.asarray(query)
+        perms = minvis_stitch(embds)
+        idx = jnp.asarray(perms)
+        cls_aligned = jnp.take_along_axis(cls_logits, idx[:, :, None], axis=1)
+        masks_aligned = jnp.take_along_axis(
+            mask_logits, idx[:, :, None, None], axis=1)
+        query_aligned = jnp.take_along_axis(query, idx[:, :, None], axis=1)
+        cls_mean = cls_aligned.mean(axis=0, keepdims=True)
+        cls_mean = jnp.broadcast_to(cls_mean, cls_aligned.shape)
+        masks_up = self.upsample_masks(masks_aligned, frames.shape[1:3])
+        masks_up = masks_up[:, :, :ori_hw[0], :ori_hw[1]]
+        fusion = self._fuse(cls_mean, masks_up)
+        return self._package(fusion, query_aligned)
+
+    def _package(self, fusion, query) -> List[Dict]:
+        """Device fusion outputs -> host per-frame dicts."""
+        pan = np.asarray(fusion["pan_seg"])
+        keep = np.asarray(fusion["query_keep"])
+        seg_ids = np.asarray(fusion["segment_id"])
+        q = np.asarray(query)
+        out = []
+        for t in range(pan.shape[0]):
+            feats: Dict[int, List[np.ndarray]] = {}
+            for k in np.flatnonzero(keep[t]):
+                feats.setdefault(int(seg_ids[t, k]), []).append(q[t, k])
+            out.append({
+                "pan_results": pan[t],
+                "query_feats": {sid: np.mean(v, axis=0)
+                                for sid, v in feats.items()},
+            })
+        return out

@@ -1,0 +1,187 @@
+"""Pipeline stage drivers: the file-mediated cascade of the reference
+(SURVEY.md §0), as importable functions.
+
+  stage 2 IPS: run_query_tube_ips — per-video IPS inference + UniTrack-style
+               association -> {vid}/quantitive/masks.txt + query_feats.pickle
+               (reference: tools/prepare_query_tube_ips.py +
+               models/unitrack/test_mots_from_mask2former.py eval_seq)
+  stage 2 VPS: run_query_tube_vps — windowed MinVIS inference, tube identity
+               from segment ids -> same outputs
+               (reference: tools/prepare_query_tube_vps.py + concat_seq)
+  stage 3:     run_rel_set — pred-tube/GT matching -> {vid}/relations.pickle
+               (reference: tools/prepare_rel_set.py)
+
+All stages iterate full videos in frame batches; file formats are
+reference-compatible (masks.txt RLE lines, pickle payload keys).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from openpvsg_tpu import INSTANCE_OFFSET
+from openpvsg_tpu.config import PVSGConfig
+from openpvsg_tpu.data import io as data_io
+from openpvsg_tpu.data import rle as rle_codec
+from openpvsg_tpu.data.pipeline import (load_frame, pad_to_divisor,
+                                        preprocess_test_frame)
+from openpvsg_tpu.data.pvsg import PVSGRelationAnnotation, frame_paths
+from openpvsg_tpu.eval.relation_matching import (
+    compact_matching_dict, match_gt_tubes, process_feats_and_relations,
+    translate_gt_relations)
+from openpvsg_tpu.infer.segmenter import SegmenterInference
+from openpvsg_tpu.tracker.tracker import MaskAssociationTracker
+from openpvsg_tpu.tracker.tubes import QueryFeatTube
+
+
+def _preprocess_batch(frames: List[np.ndarray], divisor: int = 32) -> np.ndarray:
+    h, w = frames[0].shape[:2]
+    ph, pw = pad_to_divisor(h, w, divisor)
+    return np.stack([
+        np.asarray(preprocess_test_frame(f, ph, pw)) for f in frames])
+
+
+def _segments_to_masks(pan: np.ndarray, query_feats: Dict[int, np.ndarray],
+                       num_classes: int):
+    """Split an mmdet-format pan map into per-object binary masks aligned
+    with query features (reference: unitrack/data/single_video.py:10-103)."""
+    masks, feats = [], []
+    for seg_id, feat in query_feats.items():
+        mask = (pan == seg_id).astype(np.uint8)
+        if mask.sum() == 0:
+            continue
+        masks.append(mask)
+        feats.append({"query_feat": np.asarray(feat), "cls_id": seg_id % INSTANCE_OFFSET})
+    if not masks:
+        return np.zeros((0, *pan.shape), np.uint8), []
+    return np.stack(masks), feats
+
+
+def run_query_tube_ips(
+    segmenter: SegmenterInference,
+    tracker: MaskAssociationTracker,
+    frame_files: Sequence[str],
+    save_root: str,
+    batch_size: int = 8,
+) -> int:
+    """IPS stage 2 for one video. Returns the number of tubes."""
+    num_classes = segmenter.cfg.num_classes
+    results = []
+    frame_id = 0
+    total_frames = len(frame_files)
+    for lo in range(0, total_frames, batch_size):
+        paths = frame_files[lo:lo + batch_size]
+        raw = [load_frame(p) for p in paths]
+        ori_hw = raw[0].shape[:2]
+        batch = _preprocess_batch(raw)
+        outputs = segmenter.infer_frames_ips(batch, ori_hw)
+        for img, out in zip(raw, outputs):
+            frame_id += 1
+            masks, qfeats = _segments_to_masks(
+                out["pan_results"], out["query_feats"], num_classes)
+            online, _ = tracker.update(img.astype(np.float32), masks, qfeats)
+            rles, tids = [], []
+            for t in online:
+                if t.mask is None:
+                    continue
+                rle = rle_codec.encode(t.mask)
+                rle["class_id"] = t.cls_id
+                rles.append(rle)
+                tids.append(t.track_id)
+            results.append((frame_id, rles, tids))
+
+    tubes = tracker.finalize(total_frames)
+    data_io.write_masks_txt(
+        os.path.join(save_root, "quantitive", "masks.txt"), results)
+    data_io.save_pickle(os.path.join(save_root, "query_feats.pickle"), tubes)
+    return len(tubes)
+
+
+def run_query_tube_vps(
+    segmenter: SegmenterInference,
+    frame_files: Sequence[str],
+    save_root: str,
+    window: int = 2,
+) -> int:
+    """VPS stage 2 for one video: tube identity from panoptic segment ids
+    (reference: concat_seq — no tracker needed)."""
+    total_frames = len(frame_files)
+    results = []
+    object_list: List[int] = []
+    feat_tubes: Dict[int, Dict[int, Dict]] = {}
+
+    frame_id = 0
+    for lo in range(0, total_frames, window):
+        paths = frame_files[lo:lo + window]
+        raw = [load_frame(p) for p in paths]
+        ori_hw = raw[0].shape[:2]
+        batch = _preprocess_batch(raw)
+        outputs = segmenter.infer_window_vps(batch, ori_hw)
+        for out in outputs:
+            rles, tids = [], []
+            for seg_id, feat in out["query_feats"].items():
+                if seg_id not in object_list:
+                    object_list.append(seg_id)
+                    feat_tubes[object_list.index(seg_id) + 1] = {}
+                tid = object_list.index(seg_id) + 1
+                feat_tubes[tid][frame_id] = {
+                    "query_feat": np.asarray(feat, np.float32),
+                    "cls_id": int(seg_id % INSTANCE_OFFSET),
+                }
+                mask = (out["pan_results"] == seg_id).astype(np.uint8)
+                rle = rle_codec.encode(mask)
+                rle["class_id"] = seg_id % INSTANCE_OFFSET
+                rles.append(rle)
+                tids.append(tid)
+            results.append((frame_id + 1, rles, tids))
+            frame_id += 1
+
+    data_io.write_masks_txt(
+        os.path.join(save_root, "quantitive", "masks.txt"), results)
+    # SimpleTube-compatible pickle: list of objects with track_id + qf_tube
+    from openpvsg_tpu.tracker.tubes import SimpleTube
+
+    tubes = []
+    for tid, per_frame in feat_tubes.items():
+        tube = SimpleTube(tid)
+        for i in range(total_frames):
+            tube.append(per_frame.get(i))
+        tubes.append(tube)
+    data_io.save_pickle(os.path.join(save_root, "query_feats.pickle"), tubes)
+    return len(tubes)
+
+
+def run_rel_set(
+    vid: str,
+    work_dir: str,
+    anno: PVSGRelationAnnotation,
+    data_dir: str,
+) -> Optional[str]:
+    """Stage 3 for one video: masks.txt + query_feats.pickle + GT ->
+    relations.pickle (reference: tools/prepare_rel_set.py:23-50)."""
+    from openpvsg_tpu.data.pipeline import load_mask
+
+    save_path = os.path.join(work_dir, vid, "relations.pickle")
+    pred_tubes = data_io.get_pred_mask_tubes(
+        os.path.join(work_dir, vid, "quantitive", "masks.txt"))
+    if not pred_tubes:
+        return None
+
+    mask_files = frame_paths(data_dir, vid, "masks")
+    gt_pan = np.stack([load_mask(p) for p in mask_files])
+    info = anno[vid]
+
+    matching = match_gt_tubes(gt_pan, info["objects"], pred_tubes)
+    matching = compact_matching_dict(matching)
+    translated = translate_gt_relations(matching, info["relations"])
+
+    qf_tubes = data_io.load_pickle(
+        os.path.join(work_dir, vid, "query_feats.pickle"))
+    pred_feat_tubes = {t.track_id: t.qf_tube for t in qf_tubes}
+    if not pred_feat_tubes:
+        return None
+    payload = process_feats_and_relations(translated, pred_feat_tubes)
+    data_io.save_pickle(save_path, payload)
+    return save_path
