@@ -34,6 +34,10 @@ class PixelDecoderConfig:
     out_channels: int = 256
     num_outs: int = 3
     encoder_layers: int = 6
+    # 'axial' = dense TPU-first encoder (default, MXU-bound);
+    # 'msda'  = exact multi-scale deformable attention (gather-bound; use
+    #           when running converted reference checkpoints)
+    encoder: str = "axial"
     num_heads: int = 8
     num_levels: int = 3
     num_points: int = 4

@@ -196,13 +196,15 @@ class PVSGRelationDataset:
     """Stage-4 dataset: {vid}/relations.pickle produced by prepare_rel_set
     (reference: pvsg_relation.py:15-79). Tube ids are re-indexed densely."""
 
-    def __init__(self, anno_file: str, split: str, work_dir: str):
+    def __init__(self, anno_file: str, split: str, work_dir: str,
+                 return_mask: bool = False):
         from openpvsg_tpu.data.pvsg import PVSGRelationAnnotation
 
         self.anno = PVSGRelationAnnotation(anno_file, split)
         self.relations = self.anno.relations
         self.classes = self.anno.classes
         self.work_dir = work_dir
+        self.return_mask = return_mask
         self.video_ids = [
             vid for vid in self.anno.split_video_ids
             if os.path.exists(os.path.join(work_dir, vid, "relations.pickle"))
@@ -227,8 +229,15 @@ class PVSGRelationDataset:
                 "relation": rel["relation"],
                 "relation_span": np.asarray(rel["relation_span"]),
             })
-        return {"vid": vid, "feats": feats, "relations": relations,
-                "tube_ids": tube_ids}
+        out = {"vid": vid, "feats": feats, "relations": relations,
+               "tube_ids": tube_ids}
+        if self.return_mask:
+            # decoded pred mask tubes re-indexed like feats (reference:
+            # pvsg_relation.py return_mask path used by rel_test_full)
+            tubes = self.get_pred_mask_tubes(vid)
+            out["masks"] = {reindex[tid]: tube
+                            for tid, tube in tubes.items() if tid in reindex}
+        return out
 
     def get_pred_mask_tubes(self, vid: str):
         return data_io.get_pred_mask_tubes(

@@ -117,6 +117,58 @@ class MSDeformAttnPixelDecoder(nn.Module):
     cfg: PixelDecoderConfig
     dtype: Any = jnp.float32
 
+    def _msda_encoder(self, projs: Sequence[jnp.ndarray],
+                      spatial_shapes: Sequence[Tuple[int, int]]):
+        """Exact deformable-attention encoder (reference semantics;
+        gather-bound on TPU — see axial_encoder.py for the fast default)."""
+        cfg = self.cfg
+        C = cfg.feat_channels
+        n_enc = cfg.num_levels
+        B = projs[0].shape[0]
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (n_enc, C))
+
+        srcs, poss = [], []
+        for i, proj in enumerate(projs):
+            h, w = spatial_shapes[i]
+            pos = sine_pos_encoding(h, w, num_feats=C // 2).astype(self.dtype)
+            srcs.append(proj.reshape(B, h * w, C))
+            poss.append(pos.reshape(1, h * w, C) + level_embed[i])
+        src = jnp.concatenate(srcs, axis=1)
+        pos = jnp.concatenate(poss, axis=1)
+
+        # reference points: each token's own normalized center, shared across
+        # levels (valid ratios = 1: no padding masks on TPU — static shapes)
+        ref_list = []
+        for (h, w) in spatial_shapes:
+            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+            ref_list.append(jnp.stack([gx, gy], -1).reshape(h * w, 2))
+        reference_points = jnp.concatenate(ref_list, axis=0)[None]
+        reference_points = jnp.broadcast_to(reference_points, (B, src.shape[1], 2))
+
+        x = src
+        for layer in range(cfg.encoder_layers):
+            attn_out = MSDeformAttention(
+                embed_dim=C, num_heads=cfg.num_heads, num_levels=n_enc,
+                num_points=cfg.num_points, dtype=self.dtype,
+                name=f"encoder_layer_{layer}_attn",
+            )(x + pos, x, reference_points, spatial_shapes)
+            x = nn.LayerNorm(dtype=self.dtype,
+                             name=f"encoder_layer_{layer}_norm1")(x + attn_out)
+            x = FFN(cfg.ffn_channels, C, dtype=self.dtype,
+                    name=f"encoder_layer_{layer}_ffn")(x)
+            x = nn.LayerNorm(dtype=self.dtype,
+                             name=f"encoder_layer_{layer}_norm2")(x)
+
+        outs: List[jnp.ndarray] = []
+        start = 0
+        for (h, w) in spatial_shapes:
+            outs.append(x[:, start:start + h * w].reshape(B, h, w, C))
+            start += h * w
+        return outs
+
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
         """feats: backbone outputs, low->high stride, NHWC.
@@ -129,58 +181,24 @@ class MSDeformAttnPixelDecoder(nn.Module):
         n_enc = cfg.num_levels  # encoder levels (top 3 scales)
         n_in = len(cfg.in_channels)
 
-        level_embed = self.param(
-            "level_embed", nn.initializers.normal(1.0), (n_enc, C))
-
-        # --- build encoder inputs: levels [highest stride ... ] = [3, 2, 1]
-        srcs: List[jnp.ndarray] = []
-        poss: List[jnp.ndarray] = []
+        # --- project encoder inputs: levels [highest stride ...] = [3, 2, 1]
+        projs: List[jnp.ndarray] = []
         spatial_shapes: List[Tuple[int, int]] = []
         for i in range(n_enc):
             level_idx = n_in - i - 1
-            f = feats[level_idx]
             proj = ConvGN(C, kernel=1, num_groups=cfg.num_groups,
-                          dtype=self.dtype, name=f"input_conv_{i}")(f)
-            B, h, w, _ = proj.shape
-            pos = sine_pos_encoding(h, w, num_feats=C // 2).astype(self.dtype)
-            srcs.append(proj.reshape(B, h * w, C))
-            poss.append((pos.reshape(1, h * w, C) + level_embed[i]))
-            spatial_shapes.append((h, w))
+                          dtype=self.dtype, name=f"input_conv_{i}")(feats[level_idx])
+            projs.append(proj)
+            spatial_shapes.append(proj.shape[1:3])
+        B = projs[0].shape[0]
 
-        src = jnp.concatenate(srcs, axis=1)   # (B, S, C)
-        pos = jnp.concatenate(poss, axis=1)   # (1, S, C)
+        if cfg.encoder == "axial":
+            from openpvsg_tpu.models.axial_encoder import AxialPixelEncoder
 
-        # reference points: each token's own normalized center, shared across
-        # levels (valid ratios = 1: no padding masks on TPU — static shapes).
-        ref_list = []
-        for (h, w) in spatial_shapes:
-            ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-            xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-            gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-            ref_list.append(jnp.stack([gx, gy], -1).reshape(h * w, 2))
-        reference_points = jnp.concatenate(ref_list, axis=0)[None]  # (1, S, 2)
-        B = src.shape[0]
-        reference_points = jnp.broadcast_to(reference_points, (B, src.shape[1], 2))
-
-        # --- 6-layer deformable self-attention encoder (post-norm)
-        x = src
-        for layer in range(cfg.encoder_layers):
-            attn_out = MSDeformAttention(
-                embed_dim=C, num_heads=cfg.num_heads, num_levels=n_enc,
-                num_points=cfg.num_points, dtype=self.dtype,
-                name=f"encoder_layer_{layer}_attn",
-            )(x + pos, x, reference_points, spatial_shapes)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"encoder_layer_{layer}_norm1")(x + attn_out)
-            x = FFN(cfg.ffn_channels, C, dtype=self.dtype,
-                    name=f"encoder_layer_{layer}_ffn")(x)
-            x = nn.LayerNorm(dtype=self.dtype, name=f"encoder_layer_{layer}_norm2")(x)
-
-        # --- split back to levels
-        outs: List[jnp.ndarray] = []
-        start = 0
-        for (h, w) in spatial_shapes:
-            outs.append(x[:, start:start + h * w].reshape(B, h, w, C))
-            start += h * w
+            outs = AxialPixelEncoder(cfg, dtype=self.dtype,
+                                     name="axial_encoder")(projs)
+        else:
+            outs = self._msda_encoder(projs, spatial_shapes)
         # outs = [stride32, stride16, stride8]
 
         # --- FPN fusion with remaining lower-stride levels (stride 4)

@@ -12,7 +12,7 @@ from openpvsg_tpu.models.fusion import panoptic_fusion
 from openpvsg_tpu.models.mask2former import Mask2Former
 
 
-def tiny_cfg(video=False):
+def tiny_cfg(video=False, encoder="axial"):
     return Mask2FormerConfig(
         num_things_classes=3,
         num_stuff_classes=2,
@@ -20,14 +20,16 @@ def tiny_cfg(video=False):
         video=video,
         num_frames=2 if video else 1,
         backbone=BackboneConfig(depth=26, norm="frozen_bn"),
-        pixel_decoder=PixelDecoderConfig(encoder_layers=1, ffn_channels=64),
+        pixel_decoder=PixelDecoderConfig(encoder_layers=1, ffn_channels=64,
+                                         encoder=encoder),
         decoder=TransformerDecoderConfig(num_layers=3, ffn_channels=64),
     )
 
 
-@pytest.mark.parametrize("T", [1, 2])
-def test_forward_shapes(T):
-    cfg = tiny_cfg(video=(T == 2))
+@pytest.mark.parametrize("T,encoder", [(1, "axial"), (2, "axial"),
+                                       (1, "msda"), (2, "msda")])
+def test_forward_shapes(T, encoder):
+    cfg = tiny_cfg(video=(T == 2), encoder=encoder)
     model = Mask2Former(cfg)
     x = jnp.zeros((1, T, 64, 96, 3))
     variables = model.init(jax.random.PRNGKey(0), x)

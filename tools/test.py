@@ -1,0 +1,81 @@
+"""Segmenter evaluation CLI (reference: tools/test.py --eval PQ).
+
+Runs IPS inference over the val split and reports PQ / PQ_th / PQ_st.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.common import base_parser, load_config, setup_logging
+
+
+def main():
+    parser = base_parser("Evaluate the segmenter (PQ)")
+    parser.add_argument("--checkpoint", required=False, default=None)
+    parser.add_argument("--eval", default="PQ")
+    parser.add_argument("--out", default=None, help="pickle results path")
+    parser.add_argument("--split", default="val")
+    parser.add_argument("--batch-size", type=int, default=8)
+    args = parser.parse_args()
+    cfg = load_config(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.data.datasets import PVSGImageDataset
+    from openpvsg_tpu.data.pipeline import pad_to_divisor, preprocess_test_frame
+    from openpvsg_tpu.infer.segmenter import SegmenterInference
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    work_dir = os.path.join(cfg.data.work_dir, cfg.name)
+    logger = setup_logging(work_dir, "test")
+
+    dataset = PVSGImageDataset(cfg.data.anno_file, cfg.data.data_dir, args.split)
+    logger.info(f"eval split {args.split}: {len(dataset)} frames")
+
+    model = Mask2Former(cfg.model)
+    sample = dataset[0]["img"]
+    ph, pw = pad_to_divisor(*sample.shape[:2], cfg.data.pad_divisor)
+    if args.checkpoint:
+        from openpvsg_tpu.train.checkpoint import load_checkpoint
+        state = load_checkpoint(args.checkpoint)
+        variables = {"params": state["params"]}
+        if state.get("batch_stats"):
+            variables["batch_stats"] = state["batch_stats"]
+    else:
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1, ph, pw, 3)))
+        logger.warning("no checkpoint given: evaluating random weights")
+
+    seg = SegmenterInference(cfg.model, variables)
+    results = []
+    bs = args.batch_size
+    for lo in range(0, len(dataset), bs):
+        frames, hw = [], None
+        for i in range(lo, min(lo + bs, len(dataset))):
+            img = dataset[i]["img"]
+            hw = img.shape[:2]
+            frames.append(np.asarray(preprocess_test_frame(img, ph, pw)))
+        outs = seg.infer_frames_ips(np.stack(frames), hw)
+        results.extend(o["pan_results"] for o in outs)
+        if lo % (bs * 20) == 0:
+            logger.info(f"{lo}/{len(dataset)}")
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+    if "PQ" in args.eval:
+        metrics = dataset.evaluate(results)
+        logger.info(f"PQ={metrics['PQ']:.4f} PQ_th={metrics['PQ_th']:.4f} "
+                    f"PQ_st={metrics['PQ_st']:.4f}")
+        print({k: v for k, v in metrics.items() if k != "per_class"})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,153 @@
+"""Segmenter training CLI (reference: tools/train.py).
+
+Trains Mask2Former IPS (per-frame) or VPS (2-frame clips) with the
+reference's recipe — AdamW param groups, grad clip 0.01, step LR, 8 epochs —
+data-parallel over all available chips via the device mesh.
+"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.common import base_parser, load_config, setup_logging
+
+
+def pad_targets(samples, max_instances: int, mask_stride: int = 4):
+    """Stack per-sample GT into fixed-shape batch arrays."""
+    import numpy as np
+
+    B = len(samples)
+    T, H, W = samples[0]["images"].shape[:3]
+    hm, wm = H // mask_stride, W // mask_stride
+    images = np.stack([s["images"] for s in samples])
+    gt_labels = np.zeros((B, max_instances), np.int32)
+    gt_masks = np.zeros((B, max_instances, T, hm, wm), np.uint8)
+    gt_valid = np.zeros((B, max_instances), bool)
+    for i, s in enumerate(samples):
+        n = min(len(s["gt_labels"]), max_instances)
+        gt_labels[i, :n] = s["gt_labels"][:n]
+        gt_valid[i, :n] = True
+        for j in range(n):
+            m = s["gt_mask_tubes"][j]  # (T, H, W)
+            # downsample to mask-feature stride by strided view (nearest)
+            gt_masks[i, j] = m[:, ::mask_stride, ::mask_stride][:, :hm, :wm]
+    return {"images": images, "gt_labels": gt_labels,
+            "gt_masks": gt_masks, "gt_valid": gt_valid}
+
+
+def main():
+    parser = base_parser("Train the Mask2Former segmenter (IPS/VPS)")
+    parser.add_argument("--resume-from", default=None)
+    parser.add_argument("--max-instances", type=int, default=40)
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args()
+    cfg = load_config(args)
+
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.data.datasets import PVSGImageDataset, PVSGVideoDataset
+    from openpvsg_tpu.data.pipeline import TrainAugmentor, preprocess_clip, pad_to_divisor
+    from openpvsg_tpu.data.masks import decode_palette_mask
+    from openpvsg_tpu.parallel.mesh import make_mesh
+    from openpvsg_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+    from openpvsg_tpu.train.segmenter import SegmenterTrainer
+
+    work_dir = os.path.join(cfg.data.work_dir, cfg.name)
+    logger = setup_logging(work_dir, "train")
+    rng = np.random.default_rng(cfg.train.seed)
+    random.seed(cfg.train.seed)
+
+    video = cfg.model.video
+    T = cfg.model.num_frames if video else 1
+    ch, cw = cfg.data.crop_size
+    ph, pw = pad_to_divisor(ch, cw, cfg.data.pad_divisor)
+
+    if video:
+        dataset = PVSGVideoDataset(cfg.data.anno_file, cfg.data.data_dir,
+                                   "train", cfg.data.ref_seq_index)
+    else:
+        dataset = PVSGImageDataset(cfg.data.anno_file, cfg.data.data_dir, "train")
+    logger.info(f"dataset: {len(dataset)} samples; clip T={T}")
+
+    n_dev = len(jax.devices())
+    batch = max(cfg.train.samples_per_gpu // 4, n_dev)  # per-step global batch
+    batch = (batch // n_dev) * n_dev or n_dev
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+    steps_per_epoch = max(len(dataset) // batch, 1)
+    epochs = args.epochs or cfg.train.epochs
+
+    trainer = SegmenterTrainer(cfg.model, cfg.train, mesh=mesh,
+                               steps_per_epoch=steps_per_epoch,
+                               example_shape=(T, ph, pw))
+    if args.resume_from:
+        restored = load_checkpoint(args.resume_from, trainer.state)
+        trainer.state = restored
+        logger.info(f"resumed from {args.resume_from}")
+
+    aug = TrainAugmentor(cfg.data, cfg.train.seed)
+    key = jax.random.PRNGKey(cfg.train.seed)
+
+    def make_sample(idx: int):
+        item = dataset[idx]
+        frames = item["imgs"] if video else item["img"][None]
+        pans = item.get("pan_masks")
+        if pans is None and "pan_mask" in item:
+            pans = item["pan_mask"][None]
+        if pans is None:
+            return None
+        for _ in range(10):  # crop retry (check_match)
+            params = aug.sample(frames.shape[1:3])
+            masks_t = aug.apply_to_masks(pans, params)
+            if aug.check_match(masks_t):
+                break
+        oh, ow = cfg.data.train_scale
+        imgs = np.asarray(preprocess_clip(
+            jnp.asarray(frames), oh, ow, params["flip"],
+            jnp.int32(params["crop_y"]), jnp.int32(params["crop_x"]),
+            ch, cw, ph, pw, tuple(cfg.data.mean), tuple(cfg.data.std)))
+        if video:
+            tgt = dataset.clip_targets(masks_t, item["objects"])
+        else:
+            d = decode_palette_mask(masks_t[0], item.get("objects", []),
+                                    dataset.class_index, dataset.num_classes)
+            tgt = {"gt_labels": d["gt_labels"],
+                   "gt_mask_tubes": d["gt_masks"][:, None]}
+        # pad mask tubes (N, T, ch, cw) spatially to (ph, pw)
+        mt = tgt["gt_mask_tubes"]
+        if mt.shape[0]:
+            mt = np.pad(mt, ((0, 0), (0, 0), (0, ph - ch), (0, pw - cw)))
+        tgt["gt_mask_tubes"] = mt
+        return {"images": imgs, **tgt}
+
+    step = int(trainer.state.step)
+    for epoch in range(epochs):
+        order = rng.permutation(len(dataset))
+        for lo in range(0, len(order) - batch + 1, batch):
+            samples = [make_sample(int(i)) for i in order[lo:lo + batch]]
+            samples = [s for s in samples if s is not None and len(s["gt_labels"])]
+            if not samples:
+                continue
+            while len(samples) < batch:
+                samples.append(samples[0])
+            b = pad_targets(samples, args.max_instances)
+            key, sub = jax.random.split(key)
+            logs = trainer.step(b, sub)
+            step += 1
+            if step % cfg.train.log_interval == 0:
+                msg = " ".join(f"{k}={float(v):.4f}" for k, v in logs.items()
+                               if not k.startswith("loss_") or "." not in k)
+                logger.info(f"epoch {epoch} step {step}: {msg}")
+        if (epoch + 1) % cfg.train.checkpoint_interval == 0:
+            ckpt = os.path.join(work_dir, f"epoch_{epoch + 1}")
+            save_checkpoint(ckpt, trainer.state)
+            logger.info(f"saved {ckpt}")
+
+
+if __name__ == "__main__":
+    main()
