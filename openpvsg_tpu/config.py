@@ -80,8 +80,18 @@ class Mask2FormerConfig:
     iou_thr: float = 0.8
     max_per_image: int = 100
     filter_low_score: bool = True
-    # split thing/stuff query supervision (head variant, SURVEY §2.3)
+    # split thing/stuff query supervision (head variant, SURVEY §2.3:
+    # Mask2FormerHeadSplitFocal / Mask2FormerVideoHeadSplit — the last
+    # num_stuff_classes queries supervise stuff, the rest things)
     split_thing_stuff: bool = False
+    # focal classification loss (head variant: Mask2FormerHeadFocal)
+    focal_cls: bool = False
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    # per-pixel semantic aux head (VPS option: loss_sem_seg,
+    # mask2former_video_head.py:145-149,509-519)
+    with_sem_seg: bool = False
+    sem_seg_weight: float = 1.0
 
     @property
     def num_classes(self) -> int:

@@ -156,8 +156,14 @@ class Mask2Former(nn.Module):
         cls_preds, mask_preds, query_feats = Mask2FormerHead(
             cfg, dtype=self.dtype, name="head")(
             unflatten(mask_features), [unflatten(f) for f in ms_feats])
-        return {
+        out = {
             "cls_preds": cls_preds,      # (L+1, B, Q, K+1)
             "mask_preds": mask_preds,    # (L+1, B, Q, T, H/4, W/4)
             "query_feats": query_feats,  # (B, Q, C)
         }
+        if cfg.with_sem_seg:
+            # per-pixel semantic aux head (VPS loss_sem_seg option)
+            sem = nn.Conv(cfg.num_classes + 1, (1, 1), dtype=self.dtype,
+                          name="sem_seg_head")(mask_features)
+            out["sem_seg"] = unflatten(sem)  # (B, T, H/4, W/4, K+1)
+        return out

@@ -75,6 +75,10 @@ class MaskAssociationTracker:
         return detections, keep_idx
 
     # ------------------------------------------------------------------
+    def _post_prepare(self, detections, query_feats):
+        """Hook for variants to attach per-detection data after duplicate
+        filtering aligns detections with query_feats."""
+
     def _appearance_cost(self, tracks: Sequence[STrack],
                          detections: Sequence[STrack],
                          query_feats: Sequence[Dict]) -> np.ndarray:
@@ -105,6 +109,7 @@ class MaskAssociationTracker:
 
         detections, keep_idx = self.prepare_obs(frame, masks)
         query_feats = [query_feats[k] for k in keep_idx]
+        self._post_prepare(detections, query_feats)
 
         unconfirmed = [t for t in self.tracked_stracks if not t.is_activated]
         tracked = [t for t in self.tracked_stracks if t.is_activated]

@@ -94,6 +94,44 @@ def mask2former_layer_loss(
     return {"loss_cls": loss_cls, "loss_mask": loss_mask, "loss_dice": loss_dice}
 
 
+def focal_cls_loss(cls_pred: jnp.ndarray, labels: jnp.ndarray,
+                   num_classes: int, gamma: float = 2.0,
+                   alpha: float = 0.25, weight: float = 2.0) -> jnp.ndarray:
+    """Sigmoid focal classification loss (head variant:
+    Mask2FormerHeadFocal, SURVEY §2.3). Background = all-zero one-hot."""
+    onehot = jax.nn.one_hot(labels, num_classes + 1)[..., :num_classes]
+    logits = cls_pred[..., :num_classes]
+    p = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    p_t = p * onehot + (1 - p) * (1 - onehot)
+    a_t = alpha * onehot + (1 - alpha) * (1 - onehot)
+    loss = a_t * ((1 - p_t) ** gamma) * ce
+    num_pos = jnp.maximum((labels != num_classes).sum().astype(jnp.float32), 1.0)
+    return weight * loss.sum() / num_pos
+
+
+def _assign_layer(rng, cls_pred, mask_pred, gt_labels, gt_masks, gt_valid,
+                  num_points, num_things_classes=None, num_queries_split=None):
+    """Hungarian assignment; optionally split thing/stuff query groups
+    (reference: loss_split_thing_stuff, mask2former_video_head.py:547-610 —
+    the last num_stuff queries may only take stuff targets, the rest things)."""
+    from openpvsg_tpu.train.assign import hungarian_assign
+
+    if num_things_classes is None:
+        return hungarian_assign(rng, cls_pred, mask_pred, gt_labels, gt_masks,
+                                gt_valid, num_points=num_points)
+    Q = cls_pred.shape[1]
+    n_stuff_q = num_queries_split
+    is_thing_tgt = gt_labels < num_things_classes
+    a_thing = hungarian_assign(
+        rng, cls_pred[:, :Q - n_stuff_q], mask_pred[:, :Q - n_stuff_q],
+        gt_labels, gt_masks, gt_valid & is_thing_tgt, num_points=num_points)
+    a_stuff = hungarian_assign(
+        rng, cls_pred[:, Q - n_stuff_q:], mask_pred[:, Q - n_stuff_q:],
+        gt_labels, gt_masks, gt_valid & ~is_thing_tgt, num_points=num_points)
+    return jnp.concatenate([a_thing, a_stuff], axis=1)
+
+
 def mask2former_loss(
     rng: jax.Array,
     cls_preds: jnp.ndarray,    # (L, B, Q, K+1) all decoder layers
@@ -103,12 +141,22 @@ def mask2former_loss(
     gt_valid: jnp.ndarray,     # (B, N)
     num_classes: int,
     num_points: int = 12544,
+    split_thing_stuff: bool = False,
+    num_things_classes: int | None = None,
+    num_stuff_classes: int | None = None,
+    focal: bool = False,
+    focal_gamma: float = 2.0,
+    focal_alpha: float = 0.25,
+    sem_seg_logits: jnp.ndarray | None = None,   # (B, T, H, W, K+1)
+    gt_semantic: jnp.ndarray | None = None,      # (B, T, H, W) int32
+    sem_seg_weight: float = 1.0,
     **kw,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Deep-supervised loss over every decoder layer (the reference's
     aux-loss structure, mask2former_head.py:529-616). Assignment is
-    recomputed per layer, like the reference."""
-    from openpvsg_tpu.train.assign import hungarian_assign
+    recomputed per layer, like the reference. NOTE: the reference's
+    thing-branch aux-loss copy-paste bug (mask2former_head.py:607-613) is
+    intentionally NOT reproduced — each layer uses its own losses."""
 
     L = cls_preds.shape[0]
     # global (cross-replica, since batch is sharded) gt count
@@ -120,19 +168,33 @@ def mask2former_loss(
         r_assign, r_pts = jax.random.split(jax.random.fold_in(rng, layer))
         # assignment is non-differentiable (discrete match via host LAP);
         # gradients must not flow into the cost computation
-        assigned = hungarian_assign(
+        assigned = _assign_layer(
             r_assign,
             jax.lax.stop_gradient(cls_preds[layer]),
             jax.lax.stop_gradient(mask_preds[layer]),
-            gt_labels, gt_masks, gt_valid, num_points=num_points)
+            gt_labels, gt_masks, gt_valid, num_points,
+            num_things_classes if split_thing_stuff else None,
+            num_stuff_classes if split_thing_stuff else None)
         labels, tgt_masks, pos = gather_targets(
             assigned, gt_labels, gt_masks, num_classes)
         losses = mask2former_layer_loss(
             r_pts, cls_preds[layer], mask_preds[layer], labels, tgt_masks,
             pos, num_total_masks, num_classes, num_points=num_points, **kw)
+        if focal:
+            losses["loss_cls"] = focal_cls_loss(
+                cls_preds[layer], labels, num_classes,
+                gamma=focal_gamma, alpha=focal_alpha,
+                weight=kw.get("cls_weight", 2.0))
         layer_total = sum(losses.values())
         total = total + layer_total
         tag = "" if layer == L - 1 else f".d{layer}"
         for k, v in losses.items():
             logs[k + tag] = v
+
+    if sem_seg_logits is not None and gt_semantic is not None:
+        logp = jax.nn.log_softmax(sem_seg_logits, axis=-1)
+        ce = -jnp.take_along_axis(logp, gt_semantic[..., None], axis=-1)[..., 0]
+        loss_sem = sem_seg_weight * ce.mean()
+        total = total + loss_sem
+        logs["loss_sem_seg"] = loss_sem
     return total, logs

@@ -81,6 +81,18 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
     return schedule
 
 
+def cosine_warmup_schedule(max_lr: float, min_lr: float, warmup_epochs: int,
+                           num_epochs: int, steps_per_epoch: int) -> optax.Schedule:
+    """CosineAnnealingLRwithWarmUp equivalent (reference:
+    utils/lr_scheduler.py:6-34 — defined there, available here)."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=min_lr,
+        peak_value=max_lr,
+        warmup_steps=max(warmup_epochs * steps_per_epoch, 1),
+        decay_steps=max(num_epochs * steps_per_epoch, 2),
+        end_value=min_lr)
+
+
 def make_optimizer(cfg: TrainConfig, params, steps_per_epoch: int = 1000):
     schedule = make_lr_schedule(cfg, steps_per_epoch)
 
@@ -166,7 +178,16 @@ class SegmenterTrainer:
                 cls_weight=cfg.loss_cls_weight,
                 mask_weight=cfg.loss_mask_weight,
                 dice_weight=cfg.loss_dice_weight,
-                bg_cls_weight=cfg.bg_cls_weight)
+                bg_cls_weight=cfg.bg_cls_weight,
+                split_thing_stuff=cfg.split_thing_stuff,
+                num_things_classes=cfg.num_things_classes,
+                num_stuff_classes=cfg.num_stuff_classes,
+                focal=cfg.focal_cls,
+                focal_gamma=cfg.focal_gamma,
+                focal_alpha=cfg.focal_alpha,
+                sem_seg_logits=out.get("sem_seg"),
+                gt_semantic=batch.get("gt_semantic"),
+                sem_seg_weight=cfg.sem_seg_weight)
             logs["loss"] = loss
             return loss, (logs, new_vars.get("batch_stats", batch_stats))
 
