@@ -71,7 +71,12 @@ class Mask2FormerConfig:
     loss_mask_weight: float = 5.0
     loss_dice_weight: float = 5.0
     bg_cls_weight: float = 0.1
-    # point-rend loss sampling (train_cfg, lines 120-123)
+    # mask-loss evaluation mode: 'dense' computes BCE/dice/assignment costs
+    # over every stride-4 pixel as batched matmuls (exact objective,
+    # MXU-bound — the TPU-first default); 'points' reproduces the
+    # reference's point-rend sampling (train_cfg, lines 120-123), which is
+    # gather-bound on TPU.
+    loss_sampling: str = "dense"
     num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75

@@ -48,12 +48,21 @@ def minvis_stitch(embds: np.ndarray) -> np.ndarray:
 
 
 class SegmenterInference:
-    """Owns the jitted forward + fusion for a fixed input resolution."""
+    """Owns the jitted forward + fusion for a fixed input resolution.
+
+    With a multi-device mesh, the frame batch is sharded over the 'data'
+    axis (sequence parallelism over ICI — SURVEY §5); weights replicated.
+    """
 
     def __init__(self, cfg: Mask2FormerConfig, variables,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
         self.cfg = cfg
         self.model = Mask2Former(cfg, dtype=dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))
         self.variables = variables
         self._fwd = jax.jit(self._forward)
         self._fuse = jax.jit(self._fusion)
@@ -73,7 +82,19 @@ class SegmenterInference:
         )(cls_logits, mask_logits)
 
     def forward_frames(self, frames: np.ndarray):
-        """frames: (N, H, W, 3) float32 normalized + padded."""
+        """frames: (N, H, W, 3) float32 normalized + padded. Frame axis
+        sharded over the mesh when one is configured."""
+        n = np.asarray(frames).shape[0]
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from openpvsg_tpu.parallel.sp import pad_frames_for_mesh
+
+            frames, n_orig = pad_frames_for_mesh(
+                np.asarray(frames), self.mesh.shape["data"])
+            x = jax.device_put(jnp.asarray(frames), NamedSharding(
+                self.mesh, P("data", None, None, None)))
+            cls_l, mask_l, q = self._fwd(self.variables, x)
+            return cls_l[:n_orig], mask_l[:n_orig], q[:n_orig]
         return self._fwd(self.variables, jnp.asarray(frames))
 
     @staticmethod

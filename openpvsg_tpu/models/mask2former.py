@@ -27,8 +27,8 @@ from openpvsg_tpu.config import Mask2FormerConfig
 from openpvsg_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
 from openpvsg_tpu.models.position_encoding import sine_pos_encoding, sine_pos_encoding_3d
 from openpvsg_tpu.models.resnet import ResNet
-from openpvsg_tpu.models.transformer_decoder import (
-    MaskedDecoderLayer, compute_attn_mask)
+from openpvsg_tpu.models.transformer_decoder import MaskedDecoderLayer
+from openpvsg_tpu.ops.resize import resize_bilinear
 
 
 class MaskEmbedMLP(nn.Module):
@@ -45,6 +45,12 @@ class MaskEmbedMLP(nn.Module):
 class Mask2FormerHead(nn.Module):
     cfg: Mask2FormerConfig
     dtype: Any = jnp.float32
+    # all_layer_masks=True emits full-resolution mask logits for every layer
+    # (deep supervision); False (inference) emits only the final layer's —
+    # intermediate layers only need attention masks, computed exactly from
+    # pre-resized mask features (resize is linear, so
+    # resize(einsum(q, F)) == einsum(q, resize(F)) — no approximation).
+    all_layer_masks: bool = True
 
     @nn.compact
     def __call__(self, mask_features: jnp.ndarray,
@@ -54,7 +60,8 @@ class Mask2FormerHead(nn.Module):
 
         Returns (cls_preds, mask_preds, query_feats):
           cls_preds:  (L+1, B, Q, num_classes+1)
-          mask_preds: (L+1, B, Q, T, H4, W4) logits
+          mask_preds: (L+1, B, Q, T, H4, W4) logits (or (1, ...) when
+                      all_layer_masks=False)
           query_feats:(B, Q, C) final decoder-normed query embeddings
           (the reference's return_query=True surface, mask2former_head.py:650-681)
         """
@@ -63,16 +70,21 @@ class Mask2FormerHead(nn.Module):
         Q = cfg.num_queries
         n_levels = cfg.num_transformer_feat_level
         B, T = mask_features.shape[0], mask_features.shape[1]
+        H4, W4 = mask_features.shape[2], mask_features.shape[3]
 
         query_feat = self.param("query_feat", nn.initializers.normal(1.0), (Q, C))
         query_embed = self.param("query_embed", nn.initializers.normal(1.0), (Q, C))
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (n_levels, C))
 
-        # flatten each level to (B, T*h*w, C) with positional encodings
+        # flatten each level to (B, T*h*w, C) with positional encodings, and
+        # pre-resize the mask features to each level's resolution (used to
+        # compute attention masks without a full-res einsum per layer)
         feats_flat: List[jnp.ndarray] = []
         pos_flat: List[jnp.ndarray] = []
         level_hw: List[Tuple[int, int]] = []
+        level_mask_feats: List[jnp.ndarray] = []
+        mf_flat = mask_features.reshape(B * T, H4, W4, C)
         for lvl, f in enumerate(multi_scale_feats):
             _, _, h, w, _ = f.shape
             if T == 1:
@@ -83,6 +95,8 @@ class Mask2FormerHead(nn.Module):
             feats_flat.append(f.reshape(B, T * h * w, C) + level_embed[lvl])
             pos_flat.append(pos)
             level_hw.append((h, w))
+            lm = resize_bilinear(mf_flat, (h, w)).reshape(B, T * h * w, C)
+            level_mask_feats.append(lm)
 
         query = jnp.broadcast_to(query_feat[None], (B, Q, C)).astype(self.dtype)
         query_pos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
@@ -91,30 +105,45 @@ class Mask2FormerHead(nn.Module):
         cls_embed = nn.Dense(cfg.num_classes + 1, dtype=self.dtype, name="cls_embed")
         mask_embed = MaskEmbedMLP(C, dtype=self.dtype, name="mask_embed")
 
-        def forward_head(q):
+        def head_common(q):
             out = decoder_norm(q)
-            cls_pred = cls_embed(out)
-            membed = mask_embed(out)
-            mask_pred = jnp.einsum("bqc,bthwc->bqthw", membed, mask_features,
-                                   preferred_element_type=jnp.float32)
-            return cls_pred, mask_pred, out
+            return cls_embed(out), mask_embed(out), out
+
+        def full_masks(membed):
+            return jnp.einsum("bqc,bthwc->bqthw", membed, mask_features,
+                              preferred_element_type=jnp.float32)
+
+        def attn_mask_for(membed, lvl):
+            # logits at level resolution, exactly == resize(full einsum)
+            logits = jnp.einsum("bqc,bsc->bqs", membed, level_mask_feats[lvl],
+                                preferred_element_type=jnp.float32)
+            attend = logits >= 0.0
+            all_blocked = ~attend.any(axis=-1, keepdims=True)
+            return attend | all_blocked
 
         cls_preds, mask_preds = [], []
-        cls_p, mask_p, _ = forward_head(query)
+        cls_p, membed, _ = head_common(query)
         cls_preds.append(cls_p)
-        mask_preds.append(mask_p)
+        if self.all_layer_masks:
+            mask_preds.append(full_masks(membed))
 
         final_query = None
+        final_membed = membed
         for layer in range(cfg.decoder.num_layers):
             lvl = layer % n_levels
-            attn_mask = compute_attn_mask(mask_p, level_hw[lvl])
+            attn_mask = attn_mask_for(membed, lvl)
             query = MaskedDecoderLayer(cfg.decoder, dtype=self.dtype,
                                        name=f"layer_{layer}")(
                 query, query_pos, feats_flat[lvl], pos_flat[lvl], attn_mask)
-            cls_p, mask_p, normed = forward_head(query)
+            cls_p, membed, normed = head_common(query)
             cls_preds.append(cls_p)
-            mask_preds.append(mask_p)
+            if self.all_layer_masks:
+                mask_preds.append(full_masks(membed))
             final_query = normed
+            final_membed = membed
+
+        if not self.all_layer_masks:
+            mask_preds.append(full_masks(final_membed))
 
         return (jnp.stack(cls_preds), jnp.stack(mask_preds), final_query)
 
@@ -154,11 +183,12 @@ class Mask2Former(nn.Module):
             return f.reshape(B, T, h, w, c)
 
         cls_preds, mask_preds, query_feats = Mask2FormerHead(
-            cfg, dtype=self.dtype, name="head")(
+            cfg, dtype=self.dtype, all_layer_masks=self.train, name="head")(
             unflatten(mask_features), [unflatten(f) for f in ms_feats])
         out = {
             "cls_preds": cls_preds,      # (L+1, B, Q, K+1)
-            "mask_preds": mask_preds,    # (L+1, B, Q, T, H/4, W/4)
+            "mask_preds": mask_preds,    # (L+1, B, Q, T, H/4, W/4) in train;
+                                         # (1, ...) final-layer-only in eval
             "query_feats": query_feats,  # (B, Q, C)
         }
         if cfg.with_sem_seg:

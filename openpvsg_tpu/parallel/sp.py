@@ -1,0 +1,64 @@
+"""Sequence (frame-axis) parallel inference + sharded relation scoring.
+
+The reference handles long video by chunking on one GPU (SURVEY §5: 2-frame
+clips, per-frame inference + stitching, ≤900-frame windows). The TPU-native
+replacement shards the work across the mesh:
+
+- `sharded_frame_forward`: a window of N frames is sharded over the mesh's
+  'data' axis; every chip runs the segmenter on its frame shard in one jit
+  (XLA keeps weights replicated, activations sharded — no collectives in the
+  forward at all since frames are independent).
+- `sharded_pair_predict`: relation-head pair scoring with the PAIR axis
+  sharded — the [N_tubes, T, 256] tube features are replicated (all_gather
+  over ICI happens once at placement), each chip scores its pair block.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def sharded_frame_forward(mesh: Mesh, model_apply: Callable, variables,
+                          frames: np.ndarray):
+    """frames: (N, H, W, 3), N divisible by the data-axis size. Returns the
+    model outputs with the frame axis sharded over 'data'."""
+    n_data = mesh.shape["data"]
+    assert frames.shape[0] % n_data == 0, (
+        f"frame count {frames.shape[0]} not divisible by data axis {n_data}")
+    frames = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P("data", None, None, None)))
+    variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    fwd = jax.jit(model_apply)
+    return fwd(variables, frames)
+
+
+def pad_frames_for_mesh(frames: np.ndarray, n_data: int) -> Tuple[np.ndarray, int]:
+    """Pad the frame axis (edge-repeat) to a multiple of the mesh size;
+    returns (padded, original_count)."""
+    n = frames.shape[0]
+    rem = (-n) % n_data
+    if rem:
+        frames = np.concatenate([frames, np.repeat(frames[-1:], rem, axis=0)])
+    return frames, n
+
+
+def sharded_pair_predict(mesh: Mesh, predict_apply: Callable, params,
+                         pair_feats: np.ndarray):
+    """pair_feats: (P, T, 2D) — pair axis sharded over 'data'; tube features
+    were gathered once. Returns (span_pred, prob) with P sharded."""
+    n_data = mesh.shape["data"]
+    p = pair_feats.shape[0]
+    rem = (-p) % n_data
+    if rem:
+        pair_feats = np.concatenate(
+            [pair_feats, np.zeros((rem, *pair_feats.shape[1:]),
+                                  pair_feats.dtype)])
+    x = jax.device_put(jnp.asarray(pair_feats),
+                       NamedSharding(mesh, P("data", None, None)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    span, prob = jax.jit(predict_apply)(params, x)
+    return span[:p], prob[:p]

@@ -91,14 +91,20 @@ def hungarian_assign(
     N = gt_labels.shape[1]
 
     def single(rng, cls_p, mask_p, labels, masks, valid):
-        pts = jax.random.uniform(rng, (1, num_points, 2))
-        # sample pred + target masks on the same uniform points; tall-image
-        # layout (T*H, W)
-        mp = mask_p.reshape(Q, T * H, W)
-        Hm, Wm = masks.shape[-2:]
-        mt = masks.reshape(N, T * Hm, Wm)
-        mp_pts = point_sample(mp[..., None], jnp.broadcast_to(pts, (Q, num_points, 2)))[..., 0]
-        mt_pts = point_sample(mt[..., None], jnp.broadcast_to(pts, (N, num_points, 2)))[..., 0]
+        if num_points <= 0:
+            # dense mode: cost over EVERY pixel (exact; requires pred and
+            # target at the same resolution) — one matmul per cost term
+            mp_pts = mask_p.reshape(Q, -1)
+            mt_pts = masks.reshape(N, -1)
+        else:
+            pts = jax.random.uniform(rng, (1, num_points, 2))
+            # sample pred + target masks on the same uniform points;
+            # tall-image layout (T*H, W)
+            mp = mask_p.reshape(Q, T * H, W)
+            Hm, Wm = masks.shape[-2:]
+            mt = masks.reshape(N, T * Hm, Wm)
+            mp_pts = point_sample(mp[..., None], jnp.broadcast_to(pts, (Q, num_points, 2)))[..., 0]
+            mt_pts = point_sample(mt[..., None], jnp.broadcast_to(pts, (N, num_points, 2)))[..., 0]
 
         cost = (cls_weight * classification_cost(cls_p, labels)
                 + mask_weight * mask_bce_cost(mp_pts, mt_pts)

@@ -67,17 +67,24 @@ def mask2former_layer_loss(
     w = class_weight[labels]
     loss_cls = cls_weight * (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
 
-    # ---- point-sampled mask losses (tall-image layout for clips); pred and
+    # ---- mask losses. dense mode (num_points <= 0): every pixel, exact,
+    # matmul/elementwise only. points mode: the reference's uncertainty-
+    # sampled point-rend estimate (tall-image layout for clips); pred and
     # target may live at different resolutions — sampling is in normalized
-    # coordinates (the reference samples full-res GT vs stride-4 preds)
+    # coordinates (the reference samples full-res GT vs stride-4 preds).
     Hm, Wm = tgt_masks.shape[-2:]
-    mp = mask_pred.reshape(B * Q, T * H, W)
-    mt = tgt_masks.reshape(B * Q, T * Hm, Wm).astype(jnp.float32)
-    pts = uncertainty_sampled_points(
-        rng, mp, num_points, oversample_ratio, importance_sample_ratio)
-    pts = jax.lax.stop_gradient(pts)
-    mp_pts = point_sample(mp[..., None], pts)[..., 0]   # (BQ, P)
-    mt_pts = point_sample(mt[..., None], pts)[..., 0]
+    if num_points <= 0:
+        mp_pts = mask_pred.reshape(B * Q, -1)
+        mt_pts = tgt_masks.reshape(B * Q, -1).astype(jnp.float32)
+        num_points = mp_pts.shape[-1]
+    else:
+        mp = mask_pred.reshape(B * Q, T * H, W)
+        mt = tgt_masks.reshape(B * Q, T * Hm, Wm).astype(jnp.float32)
+        pts = uncertainty_sampled_points(
+            rng, mp, num_points, oversample_ratio, importance_sample_ratio)
+        pts = jax.lax.stop_gradient(pts)
+        mp_pts = point_sample(mp[..., None], pts)[..., 0]   # (BQ, P)
+        mt_pts = point_sample(mt[..., None], pts)[..., 0]
     posw = pos.reshape(B * Q, 1).astype(jnp.float32)
 
     bce = jnp.maximum(mp_pts, 0) - mp_pts * mt_pts + jnp.log1p(jnp.exp(-jnp.abs(mp_pts)))

@@ -172,7 +172,8 @@ class SegmenterTrainer:
                 rng, out["cls_preds"], out["mask_preds"],
                 batch["gt_labels"], batch["gt_masks"].astype(jnp.float32),
                 batch["gt_valid"], cfg.num_classes,
-                num_points=cfg.num_points,
+                num_points=(cfg.num_points if cfg.loss_sampling == "points"
+                            else 0),
                 oversample_ratio=cfg.oversample_ratio,
                 importance_sample_ratio=cfg.importance_sample_ratio,
                 cls_weight=cfg.loss_cls_weight,

@@ -36,8 +36,18 @@ def test_forward_shapes(T, encoder):
     out = model.apply(variables, x)
     L = cfg.decoder.num_layers + 1
     assert out["cls_preds"].shape == (L, 1, 8, cfg.num_classes + 1)
-    assert out["mask_preds"].shape == (L, 1, 8, T, 16, 24)
+    # inference emits only the final layer's full-res masks
+    assert out["mask_preds"].shape == (1, 1, 8, T, 16, 24)
     assert out["query_feats"].shape == (1, 8, 256)
+
+    # training mode emits per-layer masks for deep supervision
+    train_model = Mask2Former(cfg, train=True)
+    out_t = train_model.apply(variables, x, mutable=["batch_stats"])[0]
+    assert out_t["mask_preds"].shape == (L, 1, 8, T, 16, 24)
+    # identical final-layer masks between the two paths (the attn-mask
+    # factorization is exact)
+    np.testing.assert_allclose(np.asarray(out["mask_preds"][-1]),
+                               np.asarray(out_t["mask_preds"][-1]), atol=2e-5)
     assert np.isfinite(np.asarray(out["cls_preds"])).all()
     assert np.isfinite(np.asarray(out["mask_preds"])).all()
 
@@ -49,7 +59,8 @@ def test_forward_jits():
     variables = model.init(jax.random.PRNGKey(0), x)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
     out = fwd(variables, x)
-    assert out["mask_preds"].shape[0] == cfg.decoder.num_layers + 1
+    assert out["cls_preds"].shape[0] == cfg.decoder.num_layers + 1
+    assert out["mask_preds"].shape[0] == 1  # eval: final layer only
 
 
 def _reference_fusion_loop(cls_logits, mask_logits, num_things, num_stuff,
