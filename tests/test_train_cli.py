@@ -1,0 +1,79 @@
+"""Training CLI integration: a few real optimizer steps of the segmenter
+through tools/train.py on the synthetic micro-dataset (CPU), verifying the
+full stage-1 path — dataset, augmentation, padding, jitted DP step,
+checkpoint save."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+H, W, T = 64, 64, 5
+VID = "1000_tr0"
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_data")
+    fdir = root / "vidor" / "frames" / VID
+    mdir = root / "vidor" / "masks" / VID
+    fdir.mkdir(parents=True)
+    mdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for t in range(T):
+        img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        mask = np.zeros((H, W), np.uint8)
+        mask[10:30, 10:30] = 1
+        mask[40:, :] = 2
+        Image.fromarray(img).save(fdir / f"{t:04d}.png")
+        Image.fromarray(mask).save(mdir / f"{t:04d}.png")
+    anno = {
+        "objects": {"thing": ["person", "dog", "cat"], "stuff": ["floor", "wall"]},
+        "relations": ["on", "next-to"],
+        "split": {"vidor": {"train": [VID], "val": [VID]},
+                  "epic_kitchen": {"train": [], "val": []},
+                  "ego4d": {"train": [], "val": []}},
+        "data": [{"video_id": VID, "meta": {},
+                  "objects": [{"object_id": 1, "category": "dog"},
+                              {"object_id": 2, "category": "floor"}],
+                  "relations": [[1, 2, "on", [[0, T - 1]]]]}],
+    }
+    (root / "pvsg.json").write_text(json.dumps(anno))
+    return str(root)
+
+
+@pytest.mark.parametrize("preset", ["mask2former_ips", "mask2former_vps"])
+def test_train_cli_steps(data_root, tmp_path, preset):
+    work_dir = str(tmp_path / "work" / preset)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENPVSG_PLATFORM="cpu")
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "train.py"),
+        "--config", preset,
+        "--data-dir", data_root,
+        "--anno-file", os.path.join(data_root, "pvsg.json"),
+        "--work-dir", work_dir,
+        "--epochs", "1",
+        "--max-instances", "4",
+        "--set",
+        "model.backbone.depth=26",
+        "model.num_queries=8",
+        "model.num_things_classes=3",
+        "model.num_stuff_classes=2",
+        "model.pixel_decoder.encoder_layers=1",
+        "model.decoder.num_layers=2",
+        "data.train_scale=48,64",
+        "data.crop_size=48,64",
+        "train.samples_per_gpu=4",
+        "train.log_interval=1",
+        "train.warmup_iters=1",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=850,
+                          env=env, cwd=REPO)
+    assert proc.returncode == 0, (proc.stderr[-3000:], proc.stdout[-1000:])
+    ckpts = [d for d in os.listdir(os.path.join(work_dir, preset))
+             if d.startswith("epoch_")]
+    assert ckpts, f"no checkpoint saved; {os.listdir(os.path.join(work_dir, preset))}"
