@@ -104,42 +104,75 @@ class PVSGSingleVideoImageDataset(PVSGImageDataset):
 
 
 class PVSGVideoDataset:
-    """Clip dataset for VPS training: 'sequence' mode with ref_seq_index
-    [0, 1] yields 2-frame clips anchored at every frame that has a valid
-    successor (reference: pvsg_video.py ref_sample_mode='sequence')."""
+    """Clip dataset for VPS training (reference: pvsg_video.py
+    ref_sample_mode semantics):
+      'sequence': ref_seq_index [0, 1] yields fixed-offset clips anchored at
+                  every frame with valid successors
+      'random':   reference frames drawn uniformly within ±ref_seq_range of
+                  the key frame, resampled per access
+      'test':     fixed windows (see PVSGVideoSingleVideoDataset)
+    """
 
     def __init__(self, anno_file: str, data_dir: str, split: str = "train",
                  ref_seq_index: Sequence[int] = (0, 1),
+                 ref_sample_mode: str = "sequence",
+                 ref_seq_range: int = 3,
+                 num_ref_frames: int = 1,
                  sources: Sequence[str] = DATA_SOURCES,
-                 video_ids: Optional[Sequence[str]] = None):
+                 video_ids: Optional[Sequence[str]] = None,
+                 seed: int = 0):
         self.anno = PVSGAnnotation(anno_file)
         self.class_index = {c: i for i, c in enumerate(self.anno.classes)}
         self.num_classes = len(self.anno.classes)
         self.ref_seq_index = tuple(ref_seq_index)
+        self.ref_sample_mode = ref_sample_mode
+        self.ref_seq_range = ref_seq_range
+        self.num_ref_frames = num_ref_frames
+        self.rng = random.Random(seed)
         self.clips: List[Dict] = []
         vids = list(video_ids) if video_ids else self.anno.video_ids(split, sources)
         for vid in vids:
             imgs = frame_paths(data_dir, vid, "frames")
             anns = frame_paths(data_dir, vid, "masks")
             n = min(len(imgs), len(anns)) if anns else len(imgs)
-            max_off = max(self.ref_seq_index)
-            for i in range(n - max_off):
-                self.clips.append({
-                    "video_id": vid,
-                    "imgs": [imgs[i + o] for o in self.ref_seq_index],
-                    "anns": [anns[i + o] for o in self.ref_seq_index] if anns else None,
-                    "objects": self.anno[vid]["objects"],
-                })
+            if ref_sample_mode == "random":
+                for i in range(n):
+                    self.clips.append({
+                        "video_id": vid, "key": i, "n": n,
+                        "imgs": imgs, "anns": anns if anns else None,
+                        "objects": self.anno[vid]["objects"],
+                    })
+            else:
+                max_off = max(self.ref_seq_index)
+                for i in range(n - max_off):
+                    self.clips.append({
+                        "video_id": vid,
+                        "imgs": [imgs[i + o] for o in self.ref_seq_index],
+                        "anns": [anns[i + o] for o in self.ref_seq_index]
+                        if anns else None,
+                        "objects": self.anno[vid]["objects"],
+                    })
 
     def __len__(self):
         return len(self.clips)
 
     def __getitem__(self, i: int) -> Dict:
         c = self.clips[i]
-        frames = np.stack([load_frame(p) for p in c["imgs"]])
+        if self.ref_sample_mode == "random":
+            key, n = c["key"], c["n"]
+            lo = max(0, key - self.ref_seq_range)
+            hi = min(n - 1, key + self.ref_seq_range)
+            refs = [self.rng.randint(lo, hi) for _ in range(self.num_ref_frames)]
+            idxs = [key] + refs
+            img_paths = [c["imgs"][j] for j in idxs]
+            ann_paths = [c["anns"][j] for j in idxs] if c["anns"] else None
+        else:
+            img_paths = c["imgs"]
+            ann_paths = c["anns"]
+        frames = np.stack([load_frame(p) for p in img_paths])
         out = {"video_id": c["video_id"], "imgs": frames}
-        if c["anns"]:
-            out["pan_masks"] = np.stack([load_mask(p) for p in c["anns"]])
+        if ann_paths:
+            out["pan_masks"] = np.stack([load_mask(p) for p in ann_paths])
             out["objects"] = c["objects"]
         return out
 

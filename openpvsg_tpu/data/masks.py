@@ -107,3 +107,19 @@ def panoptic_from_instance_map(pan_mask: np.ndarray, lut: np.ndarray,
     """object-id map + object_id->class LUT -> eval-format panoptic map."""
     sem = lut[pan_mask.astype(np.int64)]
     return sem.astype(np.int64) * divisor + pan_mask.astype(np.int64)
+
+
+def check_label_consistency(frames: Sequence[Dict]) -> None:
+    """Assert that every instance id carries ONE class label across a clip's
+    frames (reference: LabelConsistencyChecker,
+    datasets/pipelines/formatting.py:314-336). frames: per-frame dicts with
+    gt_instance_ids + gt_labels. Raises ValueError on conflict."""
+    label_of: Dict[int, int] = {}
+    for t, f in enumerate(frames):
+        for iid, lab in zip(np.asarray(f["gt_instance_ids"]).tolist(),
+                            np.asarray(f["gt_labels"]).tolist()):
+            if iid in label_of and label_of[iid] != lab:
+                raise ValueError(
+                    f"instance {iid} labeled {label_of[iid]} and {lab} "
+                    f"(frame {t}) — inconsistent clip annotation")
+            label_of[iid] = lab

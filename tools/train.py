@@ -43,6 +43,8 @@ def pad_targets(samples, max_instances: int, mask_stride: int = 4):
 def main():
     parser = base_parser("Train the Mask2Former segmenter (IPS/VPS)")
     parser.add_argument("--resume-from", default=None)
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="resume from the latest epoch_N in the work dir")
     parser.add_argument("--max-instances", type=int, default=40)
     parser.add_argument("--epochs", type=int, default=None)
     args = parser.parse_args()
@@ -85,10 +87,16 @@ def main():
     trainer = SegmenterTrainer(cfg.model, cfg.train, mesh=mesh,
                                steps_per_epoch=steps_per_epoch,
                                example_shape=(T, ph, pw))
-    if args.resume_from:
-        restored = load_checkpoint(args.resume_from, trainer.state)
-        trainer.state = restored
-        logger.info(f"resumed from {args.resume_from}")
+    resume_path = args.resume_from
+    if resume_path is None and args.auto_resume and os.path.isdir(work_dir):
+        epochs_found = sorted(
+            (int(d.split("_")[1]), d) for d in os.listdir(work_dir)
+            if d.startswith("epoch_") and d.split("_")[1].isdigit())
+        if epochs_found:
+            resume_path = os.path.join(work_dir, epochs_found[-1][1])
+    if resume_path:
+        trainer.state = load_checkpoint(resume_path, trainer.state)
+        logger.info(f"resumed from {resume_path} (step {int(trainer.state.step)})")
 
     aug = TrainAugmentor(cfg.data, cfg.train.seed)
     key = jax.random.PRNGKey(cfg.train.seed)
