@@ -48,7 +48,8 @@ def pad_to_divisor(h: int, w: int, divisor: int = 32) -> Tuple[int, int]:
             (w + divisor - 1) // divisor * divisor)
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "flip", "pad_h", "pad_w"))
+@partial(jax.jit, static_argnames=("out_h", "out_w", "flip", "crop_h",
+                                   "crop_w", "pad_h", "pad_w", "mean", "std"))
 def preprocess_clip(
     frames: jnp.ndarray,          # (T, H, W, 3) uint8
     out_h: int, out_w: int,       # resize target (keep_ratio=False)

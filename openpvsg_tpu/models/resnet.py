@@ -36,7 +36,7 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.kind == "gn":
-            return nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+            return nn.GroupNorm(num_groups=32, dtype=self.dtype, name="gn")(x)
         use_running = (self.kind == "frozen_bn") or (not self.train)
         return nn.BatchNorm(
             use_running_average=use_running,
@@ -44,6 +44,7 @@ class Norm(nn.Module):
             epsilon=1e-5,
             axis_name=self.axis_name if (self.kind == "sync_bn" and self.train) else None,
             dtype=self.dtype,
+            name="bn",
         )(x)
 
 

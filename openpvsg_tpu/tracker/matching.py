@@ -162,6 +162,16 @@ def cosine_distance(track_feats: np.ndarray, det_feats: np.ndarray) -> np.ndarra
     return 1.0 - a @ b.T
 
 
+def category_gate(cost_matrix: np.ndarray, tracks, detections) -> np.ndarray:
+    """Penalize category mismatches additively (reference:
+    matching.py:241-256 — used when observations carry a category column)."""
+    if cost_matrix.size == 0:
+        return cost_matrix
+    det_c = np.array([d.category for d in detections], dtype=np.float64)
+    trk_c = np.array([t.category for t in tracks], dtype=np.float64)
+    return cost_matrix + np.abs(det_c[None, :] - trk_c[:, None])
+
+
 def fuse_motion(kf, cost_matrix: np.ndarray, tracks, detections,
                 only_position: bool = False, lambda_: float = 0.98,
                 gate: bool = True) -> np.ndarray:

@@ -94,10 +94,11 @@ class _TreeBuilder:
             self.put(self.params, f"{path}/bias", b)
 
     def bn(self, path, sd, prefix):
-        self.put(self.params, f"{path}/scale", sd[f"{prefix}.weight"])
-        self.put(self.params, f"{path}/bias", sd[f"{prefix}.bias"])
-        self.put(self.batch_stats, f"{path}/mean", sd[f"{prefix}.running_mean"])
-        self.put(self.batch_stats, f"{path}/var", sd[f"{prefix}.running_var"])
+        # our Norm wrapper scopes the flax BatchNorm under ".../bn"
+        self.put(self.params, f"{path}/bn/scale", sd[f"{prefix}.weight"])
+        self.put(self.params, f"{path}/bn/bias", sd[f"{prefix}.bias"])
+        self.put(self.batch_stats, f"{path}/bn/mean", sd[f"{prefix}.running_mean"])
+        self.put(self.batch_stats, f"{path}/bn/var", sd[f"{prefix}.running_var"])
 
     def gn(self, path, sd, prefix):
         self.put(self.params, f"{path}/scale", sd[f"{prefix}.weight"])
