@@ -16,7 +16,9 @@ from openpvsg_tpu import NUM_CLASSES, NUM_RELATIONS, NUM_STUFF_CLASSES, NUM_THIN
 
 @dataclass(frozen=True)
 class BackboneConfig:
+    kind: str = "resnet"  # 'resnet' | 'swin'
     depth: int = 50
+    swin_variant: str = "tiny"  # tiny | small | base
     # norm: 'frozen_bn' (IPS: BN requires_grad=False + norm_eval), 'sync_bn'
     # (VPS: stats pmean'd over the data mesh axis), or 'gn'.
     norm: str = "frozen_bn"
@@ -225,9 +227,24 @@ def relation_head(model_name: str = "transformer") -> PVSGConfig:
     )
 
 
+def mask2former_swin(video: bool = True) -> PVSGConfig:
+    """Swin-T backbone variant of the VPS segmenter."""
+    return PVSGConfig(
+        name="mask2former_swin_vps" if video else "mask2former_swin_ips",
+        model=Mask2FormerConfig(
+            video=video,
+            num_frames=2 if video else 1,
+            backbone=BackboneConfig(kind="swin", swin_variant="tiny"),
+            pixel_decoder=PixelDecoderConfig(in_channels=(96, 192, 384, 768)),
+        ),
+    )
+
+
 PRESETS = {
     "mask2former_ips": mask2former_ips,
     "mask2former_vps": mask2former_vps,
+    "mask2former_swin_ips": lambda: mask2former_swin(False),
+    "mask2former_swin_vps": lambda: mask2former_swin(True),
     "relation_vanilla": lambda: relation_head("vanilla"),
     "relation_filter": lambda: relation_head("filter"),
     "relation_conv": lambda: relation_head("conv"),

@@ -166,15 +166,25 @@ class Mask2Former(nn.Module):
         cfg = self.cfg
         B, T, H, W, _ = images.shape
         x = images.reshape(B * T, H, W, 3).astype(self.dtype)
-        feats = ResNet(
-            depth=cfg.backbone.depth,
-            out_indices=cfg.backbone.out_indices,
-            norm=cfg.backbone.norm,
-            train=self.train,
-            axis_name=self.axis_name,
-            dtype=self.dtype,
-            name="backbone",
-        )(x)
+        if cfg.backbone.kind == "swin":
+            from openpvsg_tpu.models.swin import SwinTransformer
+
+            feats = SwinTransformer(
+                variant=cfg.backbone.swin_variant,
+                out_indices=cfg.backbone.out_indices,
+                dtype=self.dtype,
+                name="backbone",
+            )(x)
+        else:
+            feats = ResNet(
+                depth=cfg.backbone.depth,
+                out_indices=cfg.backbone.out_indices,
+                norm=cfg.backbone.norm,
+                train=self.train,
+                axis_name=self.axis_name,
+                dtype=self.dtype,
+                name="backbone",
+            )(x)
         mask_features, ms_feats = MSDeformAttnPixelDecoder(
             cfg.pixel_decoder, dtype=self.dtype, name="pixel_decoder")(feats)
 

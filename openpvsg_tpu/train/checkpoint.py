@@ -215,6 +215,45 @@ def convert_mmdet_mask2former(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"params": tb.params, "batch_stats": tb.batch_stats}
 
 
+def convert_mmdet_swin(sd: Dict[str, np.ndarray],
+                       src: str = "backbone") -> Dict[str, Any]:
+    """mmdet SwinTransformer state_dict -> flax SwinTransformer tree
+    (mmdet layout: patch_embed.projection, stages.S.blocks.B.{norm1,
+    attn.w_msa.*, norm2, ffn.layers.0.0/.1}, stages.S.downsample.*,
+    out norms norm0..norm3)."""
+    tb = _TreeBuilder()
+    tb.conv("patch_embed", sd[f"{src}.patch_embed.projection.weight"],
+            sd[f"{src}.patch_embed.projection.bias"])
+    tb.norm("patch_norm", sd, f"{src}.patch_embed.norm")
+    s = 0
+    while f"{src}.stages.{s}.blocks.0.norm1.weight" in sd:
+        b = 0
+        while f"{src}.stages.{s}.blocks.{b}.norm1.weight" in sd:
+            p = f"{src}.stages.{s}.blocks.{b}"
+            d = f"stage{s}_block{b}"
+            tb.norm(f"{d}/norm1", sd, f"{p}.norm1")
+            tb.norm(f"{d}/norm2", sd, f"{p}.norm2")
+            a = f"{p}.attn.w_msa"
+            tb.dense(f"{d}/attn/qkv", sd[f"{a}.qkv.weight"], sd[f"{a}.qkv.bias"])
+            tb.dense(f"{d}/attn/proj", sd[f"{a}.proj.weight"], sd[f"{a}.proj.bias"])
+            tb.put(tb.params, f"{d}/attn/rel_bias_table",
+                   sd[f"{a}.relative_position_bias_table"])
+            tb.dense(f"{d}/mlp_fc1", sd[f"{p}.ffn.layers.0.0.weight"],
+                     sd[f"{p}.ffn.layers.0.0.bias"])
+            tb.dense(f"{d}/mlp_fc2", sd[f"{p}.ffn.layers.1.weight"],
+                     sd[f"{p}.ffn.layers.1.bias"])
+            b += 1
+        if f"{src}.stages.{s}.downsample.norm.weight" in sd:
+            tb.norm(f"downsample{s}/norm", sd, f"{src}.stages.{s}.downsample.norm")
+            tb.dense(f"downsample{s}/reduction",
+                     sd[f"{src}.stages.{s}.downsample.reduction.weight"])
+        s += 1
+    for i in range(4):
+        if f"{src}.norm{i}.weight" in sd:
+            tb.norm(f"out_norm{i}", sd, f"{src}.norm{i}")
+    return {"params": tb.params}
+
+
 def convert_torchvision_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """torchvision resnet50 state_dict (no prefix) -> flax ResNet tree."""
     sd = {f"backbone.{k}": v for k, v in sd.items()}
