@@ -21,22 +21,52 @@ from openpvsg_tpu.models.relation.utils import (
 K_VALUES = (20, 50, 100)
 
 
+TUBE_BUCKETS = (20, 50, 100, 200)
+FRAME_BUCKETS = (128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
 def evaluate_video(model: RelationModel, params, feats: np.ndarray,
                    num_top_pairs: int = 100, pairwise: bool = True):
-    """Forward one video: returns (selected_pairs, ranked results)."""
-    out = model.apply({"params": params}, jnp.asarray(feats, jnp.float32))
-    sub = np.asarray(out["sub_feats"])
-    obj = np.asarray(out["obj_feats"])
-    pred_matrix = np.asarray(out["pred_matrix"])
+    """Forward one video: returns (selected_pairs, ranked results).
+
+    Shapes are padded to buckets (validity-masked — results match unpadded
+    exactly) so XLA compiles a handful of programs instead of one per video.
+    """
+    n, t, d = feats.shape
+    nb = _bucket(n, TUBE_BUCKETS)
+    tb = _bucket(t, FRAME_BUCKETS)
+    fp = np.zeros((nb, tb, d), np.float32)
+    fp[:n, :t] = feats
+    tube_valid = np.zeros(nb, bool)
+    tube_valid[:n] = True
+    frame_valid = np.zeros(tb, bool)
+    frame_valid[:t] = True
+
+    out = model.apply({"params": params}, jnp.asarray(fp),
+                      tube_valid=jnp.asarray(tube_valid),
+                      frame_valid=jnp.asarray(frame_valid))
+    sub = np.asarray(out["sub_feats"])[:n, :t]
+    obj = np.asarray(out["obj_feats"])[:n, :t]
+    pred_matrix = np.asarray(out["pred_matrix"])[:n, :n]
     selected_pairs = pick_top_pairs_eval(pred_matrix, num_top_pairs)
     if not selected_pairs:
         return [], []
     pair_feats = concatenate_sub_obj(sub, obj, selected_pairs)
-    span_pred, prob = model.apply({"params": params},
-                                  jnp.asarray(pair_feats, jnp.float32),
+    pf = np.zeros((len(selected_pairs), tb, pair_feats.shape[-1]), np.float32)
+    pf[:, :t] = pair_feats
+    span_pred, prob = model.apply({"params": params}, jnp.asarray(pf),
+                                  jnp.asarray(frame_valid),
                                   method=RelationModel.predict)
+    span_pred = np.asarray(span_pred)[:, :t]
     gen = generate_pairwise_results if pairwise else generate_results
-    results = gen(np.asarray(span_pred), np.asarray(prob), selected_pairs)
+    results = gen(span_pred, np.asarray(prob), selected_pairs)
     return selected_pairs, results
 
 

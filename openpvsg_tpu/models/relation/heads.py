@@ -27,17 +27,19 @@ from openpvsg_tpu.models.transformer_decoder import MultiheadAttention
 
 
 class TorchEncoderLayer(nn.Module):
-    """torch.nn.TransformerEncoderLayer semantics: post-norm, relu FFN."""
+    """torch.nn.TransformerEncoderLayer semantics: post-norm, relu FFN.
+    `mask` (B, L, L) bool (True = may attend) implements key-padding
+    exclusion so zero-padded batch entries cannot perturb valid tokens."""
     d_model: int
     num_heads: int
     dim_ff: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         # x: (B, L, D)
         attn = MultiheadAttention(self.num_heads, self.d_model, self.dtype,
-                                  name="self_attn")(x, x, x)
+                                  name="self_attn")(x, x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)
         y = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(x)
         y = nn.relu(y)
@@ -53,15 +55,22 @@ class ObjectEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, tube_mask: jnp.ndarray | None = None):
+    def __call__(self, feats: jnp.ndarray, tube_valid: jnp.ndarray | None = None):
         """feats: (N_tubes, T, D). Attention across the tube axis per frame
         (the reference's effective behavior — see module docstring).
+        tube_valid (N_tubes,) bool excludes zero-padded tubes from every
+        attention so padded batches match unpadded results exactly.
         Returns (N_tubes, T, D)."""
         x = feats.transpose(1, 0, 2)  # (T, N, D): frames as batch
+        mask = None
+        if tube_valid is not None:
+            T = x.shape[0]
+            N = x.shape[1]
+            mask = jnp.broadcast_to(tube_valid[None, None, :], (T, N, N))
         for i in range(self.num_layers):
             x = TorchEncoderLayer(self.feature_dim, self.num_heads,
                                   self.hidden_dim, self.dtype,
-                                  name=f"layer_{i}")(x)
+                                  name=f"layer_{i}")(x, mask=mask)
         return x.transpose(1, 0, 2)
 
 
@@ -72,9 +81,16 @@ class PairProposalNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, encoded_subjects: jnp.ndarray,
-                 encoded_objects: jnp.ndarray) -> jnp.ndarray:
+                 encoded_objects: jnp.ndarray,
+                 frame_valid: jnp.ndarray | None = None) -> jnp.ndarray:
         """(N, T, D) x2 -> (N, N) pair logits, diagonal = 0 (the reference
-        never fills i == j)."""
+        never fills i == j). frame_valid (T,) excludes zero-padded frames
+        from the temporal max."""
+        if frame_valid is not None:
+            neg = jnp.finfo(encoded_subjects.dtype).min
+            fv = frame_valid[None, :, None]
+            encoded_subjects = jnp.where(fv, encoded_subjects, neg)
+            encoded_objects = jnp.where(fv, encoded_objects, neg)
         sub = encoded_subjects.max(axis=1)  # (N, D)
         obj = encoded_objects.max(axis=1)
         # MLP(concat(s, o)) decomposed: first Dense splits into W_s, W_o
@@ -91,17 +107,21 @@ class PairProposalNetwork(nn.Module):
 
 
 class _PredHeads(nn.Module):
-    """Shared fc1-fc2-span/pred head stack used by every temporal model."""
+    """Shared fc1-fc2-span/pred head stack used by every temporal model.
+    frame_valid (T,) excludes zero-padded frames from the relation max."""
     input_dim: int
     num_relations: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_valid=None):
         x = nn.relu(nn.Dense(self.input_dim // 2, dtype=self.dtype, name="fc1")(x))
         x = nn.relu(nn.Dense(self.input_dim // 4, dtype=self.dtype, name="fc2")(x))
         span = nn.Dense(self.num_relations, dtype=self.dtype, name="span_head")(x)
         pred = nn.Dense(self.num_relations, dtype=self.dtype, name="pred_head")(x)
+        if frame_valid is not None:
+            pred = jnp.where(frame_valid[None, :, None], pred,
+                             jnp.finfo(pred.dtype).min)
         return span, pred.max(axis=1)
 
 
@@ -111,10 +131,10 @@ class VanillaModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_valid=None):
         """x: (P, T, 2D) -> (span (P, T, R), relation (P, R))."""
         return _PredHeads(self.input_dim, self.num_relations, self.dtype,
-                          name="heads")(x)
+                          name="heads")(x, frame_valid)
 
 
 class TemporalTransformer(nn.Module):
@@ -126,16 +146,21 @@ class TemporalTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        """x: (P, T, 2D)."""
+    def __call__(self, x, frame_valid=None):
+        """x: (P, T, 2D); frame_valid (T,) masks padded frames out of the
+        temporal attention and the relation max."""
         T = x.shape[1]
         x = x + sine_embed_1d(T, self.input_dim).astype(x.dtype)[None]
+        mask = None
+        if frame_valid is not None:
+            P = x.shape[0]
+            mask = jnp.broadcast_to(frame_valid[None, None, :], (P, T, T))
         for i in range(self.num_layers):
             x = TorchEncoderLayer(self.input_dim, self.num_heads, self.dim_ff,
-                                  self.dtype, name=f"layer_{i}")(x)
+                                  self.dtype, name=f"layer_{i}")(x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return _PredHeads(self.input_dim, self.num_relations, self.dtype,
-                          name="heads")(x)
+                          name="heads")(x, frame_valid)
 
 
 class HandcraftedFilter(nn.Module):
@@ -146,14 +171,14 @@ class HandcraftedFilter(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_valid=None):
         kernel = jnp.asarray([0.25, 0.5, 1.0, 0.5, 0.25], dtype=x.dtype)
         # depthwise conv over time: (P, T, D)
         pad = 2
         xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
         out = sum(kernel[i] * xp[:, i:i + x.shape[1], :] for i in range(5))
         return _PredHeads(self.input_dim, self.num_relations, self.dtype,
-                          name="heads")(out)
+                          name="heads")(out, frame_valid)
 
 
 class Learnable1DConv(nn.Module):
@@ -164,14 +189,14 @@ class Learnable1DConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, frame_valid=None):
         for i in range(self.num_layers):
             x = nn.Conv(self.input_dim, (self.kernel_size,),
                         padding=((self.kernel_size // 2,) * 2,),
                         dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.relu(x)
         return _PredHeads(self.input_dim, self.num_relations, self.dtype,
-                          name="heads")(x)
+                          name="heads")(x, frame_valid)
 
 
 class RelationModel(nn.Module):
@@ -191,22 +216,24 @@ class RelationModel(nn.Module):
         self.temporal = build_relation_model(
             self.model_name, 2 * self.feature_dim, self.num_relations, self.dtype)
 
-    def encode(self, feats):
-        return self.subject_encoder(feats), self.object_encoder(feats)
+    def encode(self, feats, tube_valid=None):
+        return (self.subject_encoder(feats, tube_valid),
+                self.object_encoder(feats, tube_valid))
 
-    def propose_pairs(self, sub_feats, obj_feats):
-        return self.pair_proposal(sub_feats, obj_feats)
+    def propose_pairs(self, sub_feats, obj_feats, frame_valid=None):
+        return self.pair_proposal(sub_feats, obj_feats, frame_valid)
 
-    def predict(self, pair_feats):
-        return self.temporal(pair_feats)
+    def predict(self, pair_feats, frame_valid=None):
+        return self.temporal(pair_feats, frame_valid)
 
-    def __call__(self, feats, pair_feats=None):
-        sub_feats, obj_feats = self.encode(feats)
-        pred_matrix = self.propose_pairs(sub_feats, obj_feats)
+    def __call__(self, feats, pair_feats=None, tube_valid=None,
+                 frame_valid=None):
+        sub_feats, obj_feats = self.encode(feats, tube_valid)
+        pred_matrix = self.propose_pairs(sub_feats, obj_feats, frame_valid)
         out = {"sub_feats": sub_feats, "obj_feats": obj_feats,
                "pred_matrix": pred_matrix}
         if pair_feats is not None:
-            span, prob = self.predict(pair_feats)
+            span, prob = self.predict(pair_feats, frame_valid)
             out.update(span_pred=span, prob=prob)
         return out
 

@@ -144,7 +144,11 @@ def make_train_step(model: RelationModel, relation_count: np.ndarray,
 
     def loss_fn(params, batch: Dict[str, jnp.ndarray]):
         feats = batch["feats"]
-        out = model.apply({"params": params}, feats)
+        # validity masks keep zero-padded tubes/frames out of every
+        # attention and pooling op — padded results match unpadded exactly
+        out = model.apply({"params": params}, feats,
+                          tube_valid=batch["tube_valid"],
+                          frame_valid=batch["frame_valid"])
         sub, obj = out["sub_feats"], out["obj_feats"]
         pred_matrix = out["pred_matrix"]
 
@@ -160,6 +164,7 @@ def make_train_step(model: RelationModel, relation_count: np.ndarray,
         pidx = batch["pair_idx"]
         pair_feats = jnp.concatenate([sub[pidx[:, 0]], obj[pidx[:, 1]]], axis=-1)
         span_pred, prob = model.apply({"params": params}, pair_feats,
+                                      batch["frame_valid"],
                                       method=RelationModel.predict)
 
         pv = batch["pair_valid"].astype(jnp.float32)
