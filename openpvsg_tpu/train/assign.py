@@ -71,7 +71,32 @@ def dice_cost(mask_pts: jnp.ndarray, tgt_pts: jnp.ndarray,
     return -(numer + eps) / (denom + eps)
 
 
-@partial(jax.jit, static_argnames=("num_points",))
+def greedy_assign_from_cost(cost: jnp.ndarray, n_iters: int) -> jnp.ndarray:
+    """Fully on-device greedy assignment: repeatedly take the globally
+    cheapest (query, target) pair among the unassigned. Not exactly optimal
+    like Hungarian, but jit-native (no host callback) — selectable via
+    Mask2FormerConfig.assigner='greedy' when host round-trips are expensive
+    (e.g. remote-device tunnels). cost: (Q, N) with BIG_COST at invalid
+    targets. Returns (Q,) assigned target index or -1."""
+    Q, N = cost.shape
+
+    def body(_, state):
+        assigned, c = state
+        flat_idx = jnp.argmin(c)
+        q, n = flat_idx // N, flat_idx % N
+        ok = c[q, n] < BIG_COST / 2
+        assigned = jnp.where(
+            ok, assigned.at[q].set(n.astype(jnp.int32)), assigned)
+        # retire the row and column
+        c = jnp.where(ok, c.at[q, :].set(BIG_COST).at[:, n].set(BIG_COST), c)
+        return assigned, c
+
+    assigned0 = jnp.full((Q,), -1, jnp.int32)
+    assigned, _ = jax.lax.fori_loop(0, n_iters, body, (assigned0, cost))
+    return assigned
+
+
+@partial(jax.jit, static_argnames=("num_points", "method"))
 def hungarian_assign(
     rng: jax.Array,
     cls_pred: jnp.ndarray,      # (B, Q, K+1)
@@ -83,6 +108,7 @@ def hungarian_assign(
     cls_weight: float = 2.0,
     mask_weight: float = 5.0,
     dice_weight: float = 5.0,
+    method: str = "hungarian",  # 'hungarian' (host LAP) | 'greedy' (device)
 ) -> jnp.ndarray:
     """Returns (B, Q) assigned target index (or -1). Clip masks are matched
     as one tall (T*H, W) image exactly like the video head
@@ -110,6 +136,8 @@ def hungarian_assign(
                 + mask_weight * mask_bce_cost(mp_pts, mt_pts)
                 + dice_weight * dice_cost(mp_pts, mt_pts))
         cost = jnp.where(valid[None, :], cost, BIG_COST)
+        if method == "greedy":
+            return greedy_assign_from_cost(cost, min(Q, N))
         assigned = jax.pure_callback(
             _host_lap, jax.ShapeDtypeStruct((Q,), jnp.int32), cost,
             vmap_method="sequential")

@@ -118,7 +118,8 @@ def focal_cls_loss(cls_pred: jnp.ndarray, labels: jnp.ndarray,
 
 
 def _assign_layer(rng, cls_pred, mask_pred, gt_labels, gt_masks, gt_valid,
-                  num_points, num_things_classes=None, num_queries_split=None):
+                  num_points, num_things_classes=None, num_queries_split=None,
+                  method="hungarian"):
     """Hungarian assignment; optionally split thing/stuff query groups
     (reference: loss_split_thing_stuff, mask2former_video_head.py:547-610 —
     the last num_stuff queries may only take stuff targets, the rest things)."""
@@ -126,16 +127,18 @@ def _assign_layer(rng, cls_pred, mask_pred, gt_labels, gt_masks, gt_valid,
 
     if num_things_classes is None:
         return hungarian_assign(rng, cls_pred, mask_pred, gt_labels, gt_masks,
-                                gt_valid, num_points=num_points)
+                                gt_valid, num_points=num_points, method=method)
     Q = cls_pred.shape[1]
     n_stuff_q = num_queries_split
     is_thing_tgt = gt_labels < num_things_classes
     a_thing = hungarian_assign(
         rng, cls_pred[:, :Q - n_stuff_q], mask_pred[:, :Q - n_stuff_q],
-        gt_labels, gt_masks, gt_valid & is_thing_tgt, num_points=num_points)
+        gt_labels, gt_masks, gt_valid & is_thing_tgt, num_points=num_points,
+        method=method)
     a_stuff = hungarian_assign(
         rng, cls_pred[:, Q - n_stuff_q:], mask_pred[:, Q - n_stuff_q:],
-        gt_labels, gt_masks, gt_valid & ~is_thing_tgt, num_points=num_points)
+        gt_labels, gt_masks, gt_valid & ~is_thing_tgt, num_points=num_points,
+        method=method)
     return jnp.concatenate([a_thing, a_stuff], axis=1)
 
 
@@ -154,6 +157,7 @@ def mask2former_loss(
     focal: bool = False,
     focal_gamma: float = 2.0,
     focal_alpha: float = 0.25,
+    assigner: str = "hungarian",
     sem_seg_logits: jnp.ndarray | None = None,   # (B, T, H, W, K+1)
     gt_semantic: jnp.ndarray | None = None,      # (B, T, H, W) int32
     sem_seg_weight: float = 1.0,
@@ -181,7 +185,8 @@ def mask2former_loss(
             jax.lax.stop_gradient(mask_preds[layer]),
             gt_labels, gt_masks, gt_valid, num_points,
             num_things_classes if split_thing_stuff else None,
-            num_stuff_classes if split_thing_stuff else None)
+            num_stuff_classes if split_thing_stuff else None,
+            method=assigner)
         labels, tgt_masks, pos = gather_targets(
             assigned, gt_labels, gt_masks, num_classes)
         losses = mask2former_layer_loss(

@@ -180,6 +180,7 @@ class SegmenterTrainer:
                 mask_weight=cfg.loss_mask_weight,
                 dice_weight=cfg.loss_dice_weight,
                 bg_cls_weight=cfg.bg_cls_weight,
+                assigner=cfg.assigner,
                 split_thing_stuff=cfg.split_thing_stuff,
                 num_things_classes=cfg.num_things_classes,
                 num_stuff_classes=cfg.num_stuff_classes,
