@@ -79,10 +79,11 @@ class Mask2FormerConfig:
     # reference's point-rend sampling (train_cfg, lines 120-123), which is
     # gather-bound on TPU.
     loss_sampling: str = "dense"
-    # target assignment: 'hungarian' (exact, host LAP via callback) or
-    # 'greedy' (on-device approximation; avoids per-step host round-trips
-    # on remote-device setups)
-    assigner: str = "hungarian"
+    # target assignment: 'hungarian' (exact, host LAP via callback),
+    # 'greedy' (on-device approximation; no host round-trips), or 'auto'
+    # (hungarian where host callbacks work, greedy on remote-device tunnels
+    # where XLA rejects callbacks — e.g. the axon platform)
+    assigner: str = "auto"
     num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75

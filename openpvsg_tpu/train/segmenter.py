@@ -158,6 +158,13 @@ class SegmenterTrainer:
         cfg = self.cfg
         model = self.model
         tx = self.tx
+        assigner = cfg.assigner
+        if assigner == "auto":
+            # host callbacks do not compile through the axon remote-TPU
+            # tunnel (XLA RET_CHECK, see PERF.md); use the device assigner
+            # there and exact Hungarian everywhere else
+            platform = jax.devices()[0].platform
+            assigner = "greedy" if platform == "axon" else "hungarian"
 
         def loss_fn(params, batch_stats, batch, rng):
             variables = {"params": params}
@@ -180,7 +187,7 @@ class SegmenterTrainer:
                 mask_weight=cfg.loss_mask_weight,
                 dice_weight=cfg.loss_dice_weight,
                 bg_cls_weight=cfg.bg_cls_weight,
-                assigner=cfg.assigner,
+                assigner=assigner,
                 split_thing_stuff=cfg.split_thing_stuff,
                 num_things_classes=cfg.num_things_classes,
                 num_stuff_classes=cfg.num_stuff_classes,
