@@ -133,17 +133,19 @@ def main():
         tgt["gt_mask_tubes"] = mt
         return {"images": imgs, **tgt}
 
+    from openpvsg_tpu.data.loader import PrefetchLoader
+
+    def make_valid_sample(i: int):
+        s = make_sample(int(i))
+        return s if (s is not None and len(s["gt_labels"])) else None
+
     step = int(trainer.state.step)
     for epoch in range(epochs):
-        order = rng.permutation(len(dataset))
-        for lo in range(0, len(order) - batch + 1, batch):
-            samples = [make_sample(int(i)) for i in order[lo:lo + batch]]
-            samples = [s for s in samples if s is not None and len(s["gt_labels"])]
-            if not samples:
-                continue
-            while len(samples) < batch:
-                samples.append(samples[0])
-            b = pad_targets(samples, args.max_instances)
+        loader = PrefetchLoader(
+            make_valid_sample, rng.permutation(len(dataset)), batch,
+            collate=lambda ss: pad_targets(ss, args.max_instances),
+            num_workers=cfg.data.num_workers)
+        for b in loader:
             key, sub = jax.random.split(key)
             logs = trainer.step(b, sub)
             step += 1
