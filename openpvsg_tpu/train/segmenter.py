@@ -137,12 +137,18 @@ class SegmenterTrainer:
 
     def __init__(self, cfg: Mask2FormerConfig, train_cfg: TrainConfig,
                  mesh=None, steps_per_epoch: int = 1000,
-                 example_shape: Tuple[int, int, int] = (1, 256, 256)):
+                 example_shape: Tuple[int, int, int] = (1, 256, 256),
+                 compute_dtype=None):
         self.cfg = cfg
         self.train_cfg = train_cfg
         self.mesh = mesh
-        self.model = Mask2Former(cfg, train=True,
-                                 axis_name=None)
+        # mixed precision: params fp32 (flax default param_dtype), compute
+        # in cfg.backbone.dtype (bf16 on TPU) — losses accumulate in fp32
+        if compute_dtype is None:
+            compute_dtype = (jnp.bfloat16 if cfg.backbone.dtype == "bfloat16"
+                             else jnp.float32)
+        self.model = Mask2Former(cfg, train=True, axis_name=None,
+                                 dtype=compute_dtype)
         t, h, w = example_shape
         variables = self.model.init(
             jax.random.PRNGKey(train_cfg.seed), jnp.zeros((1, t, h, w, 3)))
