@@ -1,0 +1,146 @@
+"""Online (streaming) PVSG inference.
+
+The reference pipeline is strictly offline — every stage reads the previous
+stage's files for a complete video (SURVEY §0). For serving, this module
+processes a live frame stream incrementally:
+
+  push frames -> windowed segmenter forward (MinVIS stitching inside the
+  window, segment-id tube identity across windows, like concat_seq) ->
+  rolling query-feature tubes -> every `relation_interval` frames, the
+  relation head re-scores the accumulated tubes and emits the current
+  top-K triplets.
+
+State is O(num_tubes x frames_seen) feature memory; masks leave the device
+only for the frames the caller asks for.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from openpvsg_tpu import INSTANCE_OFFSET
+from openpvsg_tpu.config import Mask2FormerConfig, RelationHeadConfig
+from openpvsg_tpu.data.pipeline import pad_to_divisor, preprocess_test_frame
+from openpvsg_tpu.infer.segmenter import SegmenterInference
+from openpvsg_tpu.models.relation.heads import RelationModel
+from openpvsg_tpu.models.relation.utils import (concatenate_sub_obj,
+                                                pick_top_pairs_eval,
+                                                generate_results)
+
+
+class StreamingPVSG:
+    """Incremental video scene-graph engine.
+
+    >>> engine = StreamingPVSG(segmenter, rel_model, rel_params)
+    >>> for frame in video:                       # uint8 RGB (H, W, 3)
+    ...     out = engine.push(frame)              # None until window fills
+    ...     if out and out["triplets"] is not None: ...
+    >>> final = engine.finish()
+    """
+
+    def __init__(self, segmenter: SegmenterInference,
+                 rel_model: Optional[RelationModel] = None,
+                 rel_params=None,
+                 window: int = 2,
+                 relation_interval: int = 16,
+                 num_top_pairs: int = 20,
+                 feat_dim: int = 256):
+        self.seg = segmenter
+        self.rel_model = rel_model
+        self.rel_params = rel_params
+        self.window = window
+        self.relation_interval = relation_interval
+        self.num_top_pairs = num_top_pairs
+        self.feat_dim = feat_dim
+
+        self._buf: List[np.ndarray] = []
+        self._frame_id = 0
+        self._object_list: List[int] = []
+        self._tubes: Dict[int, Dict[int, np.ndarray]] = {}  # tid -> {frame: feat}
+        self._tube_cls: Dict[int, int] = {}
+        self._last_outputs: List[Dict] = []
+
+    # ------------------------------------------------------------------
+    def push(self, frame: np.ndarray) -> Optional[Dict]:
+        """Add one frame; returns per-window results when a window completes:
+        {'frames': [frame_ids], 'pan_results': [maps], 'triplets': list|None}."""
+        self._buf.append(frame)
+        if len(self._buf) < self.window:
+            return None
+        return self._flush_window()
+
+    def _flush_window(self) -> Dict:
+        frames = self._buf
+        self._buf = []
+        ori_hw = frames[0].shape[:2]
+        ph, pw = pad_to_divisor(*ori_hw)
+        batch = np.stack([np.asarray(preprocess_test_frame(f, ph, pw))
+                          for f in frames])
+        outputs = self.seg.infer_window_vps(batch, ori_hw)
+
+        frame_ids, pans = [], []
+        for out in outputs:
+            fid = self._frame_id
+            self._frame_id += 1
+            frame_ids.append(fid)
+            pans.append(out["pan_results"])
+            for seg_id, feat in out["query_feats"].items():
+                if seg_id not in self._object_list:
+                    self._object_list.append(seg_id)
+                tid = self._object_list.index(seg_id) + 1
+                self._tubes.setdefault(tid, {})[fid] = np.asarray(
+                    feat, np.float32)
+                self._tube_cls[tid] = int(seg_id % INSTANCE_OFFSET)
+
+        triplets = None
+        if (self.rel_model is not None and self._tubes
+                and self._frame_id % self.relation_interval < self.window):
+            triplets = self._score_relations()
+        result = {"frames": frame_ids, "pan_results": pans,
+                  "triplets": triplets}
+        self._last_outputs.append(result)
+        return result
+
+    # ------------------------------------------------------------------
+    def _score_relations(self) -> List[Dict]:
+        T = self._frame_id
+        tids = sorted(self._tubes)
+        feats = np.zeros((len(tids), T, self.feat_dim), np.float32)
+        for k, tid in enumerate(tids):
+            for f, v in self._tubes[tid].items():
+                feats[k, f] = v.reshape(-1)[: self.feat_dim]
+
+        from openpvsg_tpu.eval.rel_eval import evaluate_video
+
+        pairs, results = evaluate_video(
+            self.rel_model, self.rel_params, feats,
+            num_top_pairs=self.num_top_pairs, pairwise=False)
+        out = []
+        for r in results[: self.num_top_pairs]:
+            span = np.flatnonzero(r["relation_span"])
+            out.append({
+                "subject_tube": tids[r["subject_index"]],
+                "object_tube": tids[r["object_index"]],
+                "subject_cls": self._tube_cls[tids[r["subject_index"]]],
+                "object_cls": self._tube_cls[tids[r["object_index"]]],
+                "relation": r["relation"],
+                "span": [int(span[0]), int(span[-1])] if span.size else None,
+            })
+        return out
+
+    def finish(self) -> Dict:
+        """Flush any partial window and emit final triplets + tube summary."""
+        if self._buf:
+            while len(self._buf) < self.window:  # pad the tail window
+                self._buf.append(self._buf[-1])
+            self._flush_window()
+        triplets = self._score_relations() if (
+            self.rel_model is not None and self._tubes) else []
+        return {
+            "num_frames": self._frame_id,
+            "num_tubes": len(self._tubes),
+            "tube_classes": dict(self._tube_cls),
+            "triplets": triplets,
+        }
