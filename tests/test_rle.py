@@ -89,6 +89,25 @@ def test_area_and_iou(rng):
         assert rle.iou(ea, eb) == pytest.approx(expect, abs=1e-12)
 
 
+def test_hand_derived_counts_strings():
+    """Literals derived by hand from the COCO LEB128 spec (5-bit groups,
+    continuation 0x20, chars offset 48, delta vs counts[i-2] for i>2) —
+    pins the wire format independently of both implementations."""
+    # all-ones 10x10: counts [0, 100]; 0 -> '0'; 100 = 0b1100100:
+    # group1 = 4 (+cont) -> 'T', group2 = 3 -> '3'
+    ones = np.ones((10, 10), np.uint8)
+    assert rle.encode(ones)["counts"] == "0T3"
+    # single fg pixel at flat position 5 of a 4x3 mask (F-order):
+    # counts [5, 1, 6] -> '5', '1', '6'
+    m = np.zeros((4, 3), np.uint8)
+    m[1, 1] = 1  # F-order index = 1 + 1*4 = 5
+    assert rle.encode(m)["counts"] == "516"
+    # negative delta: counts [1, 3, 4, 1]: raw '1','3','4', then
+    # 1 - 3 = -2 -> 5-bit two's complement 0b11110 = 30 -> chr(78) = 'N'
+    m2 = np.array([[0, 1, 0], [1, 0, 0], [1, 0, 1]], np.uint8)
+    assert rle.encode(m2)["counts"] == "134N"
+
+
 def test_large_runs():
     """Runs longer than 2^15 exercise multi-char LEB continuation."""
     m = np.zeros((1000, 100), dtype=np.uint8)
