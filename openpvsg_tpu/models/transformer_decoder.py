@@ -44,10 +44,12 @@ class MultiheadAttention(nn.Module):
         qp = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(q)
         kp = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(k)
         vp = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(v)
-        qp = qp.reshape(B, Lq, H, hd).transpose(0, 2, 1, 3)
-        kp = kp.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
-        vp = vp.reshape(B, Lk, H, hd).transpose(0, 2, 1, 3)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", qp, kp,
+        # einsums operate directly on (B, L, H, hd) — no explicit head
+        # transposes (the model is relayout-bound on TPU; see PERF.md)
+        qp = qp.reshape(B, Lq, H, hd)
+        kp = kp.reshape(B, Lk, H, hd)
+        vp = vp.reshape(B, Lk, H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
                             preferred_element_type=jnp.float32) / jnp.sqrt(hd)
         if mask is not None:
             # mask: (B, Lq, Lk) or (B, H, Lq, Lk); True = attend
@@ -55,8 +57,7 @@ class MultiheadAttention(nn.Module):
                 mask = mask[:, None]
             logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, vp)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, self.dim)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp).reshape(B, Lq, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
