@@ -66,7 +66,8 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 1, 64, 64, 3)))
         logger.warning("no segmenter checkpoint: random weights")
-    seg = SegmenterInference(cfg.model, variables)
+    infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
 
     # --- relation head
     rel_model = RelationModel(model_name=args.model_name)

@@ -49,7 +49,8 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 1, 64, 64, 3)))
         logger.warning("no checkpoint: random weights")
-    seg = SegmenterInference(cfg.model, variables)
+    infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
 
     app = make_appearance_model(depth=cfg.tracker.appearance_depth)
     if args.appearance_checkpoint:

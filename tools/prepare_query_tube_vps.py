@@ -46,7 +46,8 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 1, 64, 64, 3)))
         logger.warning("no checkpoint: random weights")
-    seg = SegmenterInference(cfg.model, variables)
+    infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
 
     for vid in videos:
         frames = frame_paths(cfg.data.data_dir, vid, "frames")

@@ -53,7 +53,8 @@ def main():
                                jnp.zeros((1, 1, ph, pw, 3)))
         logger.warning("no checkpoint given: evaluating random weights")
 
-    seg = SegmenterInference(cfg.model, variables)
+    infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
     results = []
     bs = args.batch_size
     for lo in range(0, len(dataset), bs):
