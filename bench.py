@@ -28,6 +28,19 @@ import numpy as np
 
 
 def main():
+    # the remote-compile tunnel occasionally drops a response mid-compile;
+    # retry the whole measurement rather than losing the round's number
+    last = None
+    for attempt in range(3):
+        try:
+            return _run()
+        except Exception as e:  # noqa: BLE001 — tunnel flakes are opaque
+            last = e
+            time.sleep(10)
+    raise last
+
+
+def _run():
     from openpvsg_tpu.config import mask2former_vps
     from openpvsg_tpu.models.mask2former import Mask2Former
 
