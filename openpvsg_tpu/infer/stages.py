@@ -65,13 +65,20 @@ def run_query_tube_ips(
     frame_files: Sequence[str],
     save_root: str,
     batch_size: int = 8,
+    log_fn=None,
 ) -> int:
-    """IPS stage 2 for one video. Returns the number of tubes."""
+    """IPS stage 2 for one video. Returns the number of tubes. Logs running
+    fps every 20 frames (the reference's only throughput surface,
+    test_mots_from_mask2former.py:44-49)."""
+    from openpvsg_tpu.utils.profiling import Timer
+
+    timer = Timer()
     num_classes = segmenter.cfg.num_classes
     results = []
     frame_id = 0
     total_frames = len(frame_files)
     for lo in range(0, total_frames, batch_size):
+        timer.tic()
         paths = frame_files[lo:lo + batch_size]
         raw = [load_frame(p) for p in paths]
         ori_hw = raw[0].shape[:2]
@@ -91,6 +98,10 @@ def run_query_tube_ips(
                 rles.append(rle)
                 tids.append(t.track_id)
             results.append((frame_id, rles, tids))
+        timer.toc()
+        if log_fn and frame_id % 20 < batch_size:
+            fps = len(paths) / max(timer.diff, 1e-5)
+            log_fn(f"frame {frame_id}/{total_frames} ({fps:.2f} fps)")
 
     tubes = tracker.finalize(total_frames)
     data_io.write_masks_txt(
