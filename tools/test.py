@@ -75,6 +75,15 @@ def main():
         metrics = dataset.evaluate(results)
         logger.info(f"PQ={metrics['PQ']:.4f} PQ_th={metrics['PQ_th']:.4f} "
                     f"PQ_st={metrics['PQ_st']:.4f}")
+        # per-class table (reference prints the mmdet PQ table)
+        per_class = metrics["per_class"]
+        rows = sorted(enumerate(per_class), key=lambda kv: -kv[1])
+        logger.info("top per-class PQ:")
+        for idx, pq in rows[:20]:
+            if pq > 0:
+                name = (dataset.anno.classes[idx]
+                        if idx < len(dataset.anno.classes) else str(idx))
+                logger.info(f"  {name:<24} {pq:.4f}")
         print({k: v for k, v in metrics.items() if k != "per_class"})
 
 
