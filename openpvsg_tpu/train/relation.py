@@ -226,6 +226,16 @@ class RelationTrainer:
         self.opt_state = self.tx.init(self.params)
         self.grad_step = make_train_step(self.model, relation_count,
                                          cfg.loss_prob_weight)
+        # one fused device call per accumulate/apply instead of one dispatch
+        # per gradient leaf (dispatch latency dominates on remote devices)
+        self._accum_fn = jax.jit(lambda a, g: jax.tree.map(jnp.add, a, g))
+
+        def _apply(params, opt_state, accum, count):
+            grads = jax.tree.map(lambda g: g / count, accum)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        self._apply_fn = jax.jit(_apply)
         self._accum = None
         self._accum_count = 0
 
@@ -253,7 +263,7 @@ class RelationTrainer:
         if self._accum is None:
             self._accum = grads
         else:
-            self._accum = jax.tree.map(jnp.add, self._accum, grads)
+            self._accum = self._accum_fn(self._accum, grads)
         self._accum_count += 1
         if self._accum_count >= self.cfg.accumulation_steps:
             self.flush()
@@ -262,8 +272,8 @@ class RelationTrainer:
     def flush(self):
         if self._accum is None or self._accum_count == 0:
             return
-        grads = jax.tree.map(lambda g: g / self._accum_count, self._accum)
-        updates, self.opt_state = self.tx.update(grads, self.opt_state, self.params)
-        self.params = optax.apply_updates(self.params, updates)
+        self.params, self.opt_state = self._apply_fn(
+            self.params, self.opt_state, self._accum,
+            jnp.float32(self._accum_count))
         self._accum = None
         self._accum_count = 0
