@@ -27,7 +27,9 @@ if os.environ.get("OPENPVSG_PLATFORM"):
 
 
 def chained_ms(make_chain, n_short=2, n_long=12):
-    """make_chain(iters) -> jitted fn returning a scalar; returns ms/iter."""
+    """make_chain(iters) -> jitted fn returning a scalar; returns ms/iter
+    (clamped at 0 — sub-noise components report 0.0, rerun with larger
+    n_long for resolution)."""
     f = make_chain()
     float(f(n_short))
     t0 = time.perf_counter()
@@ -36,7 +38,7 @@ def chained_ms(make_chain, n_short=2, n_long=12):
     t0 = time.perf_counter()
     float(f(n_long))
     b = time.perf_counter() - t0
-    return (b - a) / (n_long - n_short) * 1000
+    return max((b - a) / (n_long - n_short) * 1000, 0.0)
 
 
 def main():
