@@ -166,11 +166,14 @@ class SegmenterTrainer:
         tx = self.tx
         assigner = cfg.assigner
         if assigner == "auto":
-            # host callbacks do not compile through the axon remote-TPU
-            # tunnel (XLA RET_CHECK, see PERF.md); use the device assigner
-            # there and exact Hungarian everywhere else
+            # vmapped host-callback LAP fails to compile inside the TPU
+            # train step (libtpu RET_CHECK in llo_allocation_assignment.cc,
+            # observed through the axon tunnel which also reports
+            # platform == 'tpu'; see PERF.md). Default to the on-device
+            # greedy assigner on TPU and exact Hungarian elsewhere; force
+            # with assigner='hungarian' if your TPU stack supports callbacks.
             platform = jax.devices()[0].platform
-            assigner = "greedy" if platform == "axon" else "hungarian"
+            assigner = "hungarian" if platform == "cpu" else "greedy"
 
         def loss_fn(params, batch_stats, batch, rng):
             variables = {"params": params}
