@@ -22,6 +22,7 @@ import numpy as np
 
 from openpvsg_tpu import INSTANCE_OFFSET
 from openpvsg_tpu.config import Mask2FormerConfig
+from openpvsg_tpu.data.pipeline import pad_to_divisor
 from openpvsg_tpu.models.fusion import panoptic_fusion
 from openpvsg_tpu.models.mask2former import Mask2Former
 from openpvsg_tpu import native
@@ -50,15 +51,26 @@ def minvis_stitch(embds: np.ndarray) -> np.ndarray:
 class SegmenterInference:
     """Owns the jitted forward + fusion for a fixed input resolution.
 
+    Frames enter RAW (uint8 RGB, unpadded): normalization + padding are
+    fused into the forward program, so H2D carries uint8 — 4x fewer tunnel
+    bytes than preprocessing on device, pulling float32 to host, and
+    re-uploading (the reference preprocesses per frame on host and uploads
+    float tensors, mask2former.py:166-172). float inputs are treated as
+    already normalized + padded (back-compat).
+
     With a multi-device mesh, the frame batch is sharded over the 'data'
     axis (sequence parallelism over ICI — SURVEY §5); weights replicated.
     """
 
+    MEAN = (123.675, 116.28, 103.53)
+    STD = (58.395, 57.12, 57.375)
+
     def __init__(self, cfg: Mask2FormerConfig, variables,
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, pad_divisor: int = 32):
         self.cfg = cfg
         self.model = Mask2Former(cfg, dtype=dtype)
         self.mesh = mesh
+        self.pad_divisor = pad_divisor
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -68,9 +80,18 @@ class SegmenterInference:
         self._fuse = jax.jit(self._fusion)
 
     def _forward(self, variables, frames):
-        """frames: (N, H, W, 3) normalized; each frame independent (T=1).
-        Returns (cls (N, Q, K+1), masks (N, Q, H/4, W/4), query (N, Q, C))."""
-        out = self.model.apply(variables, frames[:, None])
+        """frames: (N, H, W, 3) uint8 raw (or float pre-normalized+padded);
+        each frame independent (T=1). Returns (cls (N, Q, K+1),
+        masks (N, Q, Hp/4, Wp/4), query (N, Q, C))."""
+        if frames.dtype == jnp.uint8:
+            x = frames.astype(jnp.float32)
+            x = (x - jnp.asarray(self.MEAN)) / jnp.asarray(self.STD)
+            h, w = x.shape[1:3]
+            ph, pw = pad_to_divisor(h, w, self.pad_divisor)
+            x = jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+        else:
+            x = frames
+        out = self.model.apply(variables, x[:, None])
         return (out["cls_preds"][-1], out["mask_preds"][-1][:, :, 0],
                 out["query_feats"])
 
@@ -107,24 +128,35 @@ class SegmenterInference:
         x = resize_bilinear(x, out_hw)[..., 0]
         return x.reshape(N, Q, *out_hw)
 
+    def _padded_hw(self, frames) -> Tuple[int, int]:
+        h, w = frames.shape[1:3]
+        if frames.dtype == np.uint8:
+            return pad_to_divisor(h, w, self.pad_divisor)
+        return h, w
+
     # ------------------------------------------------------------------
-    def infer_frames_ips(self, frames: np.ndarray, ori_hw: Tuple[int, int]):
+    def infer_frames_ips(self, frames: np.ndarray,
+                         ori_hw: Optional[Tuple[int, int]] = None):
         """IPS path: per-frame panoptic results + per-segment query feats
-        (the simple_test_with_query surface). frames are normalized+padded.
+        (the simple_test_with_query surface). frames are raw uint8 (or
+        pre-normalized float, back-compat).
 
         Returns list of {'pan_results': (H, W) mmdet-format, 'query_feats':
         {segment_id: 256-d np.ndarray}} per frame.
         """
+        ori_hw = ori_hw or tuple(frames.shape[1:3])
         cls_logits, mask_logits, query = self.forward_frames(frames)
-        masks_up = self.upsample_masks(mask_logits, frames.shape[1:3])
+        masks_up = self.upsample_masks(mask_logits, self._padded_hw(frames))
         masks_up = masks_up[:, :, :ori_hw[0], :ori_hw[1]]
         fusion = self._fuse(cls_logits, masks_up)
         return self._package(fusion, query)
 
-    def infer_window_vps(self, frames: np.ndarray, ori_hw: Tuple[int, int]):
+    def infer_window_vps(self, frames: np.ndarray,
+                         ori_hw: Optional[Tuple[int, int]] = None):
         """VPS MinVIS path: per-frame forward + query stitching + clip-mean
         logits + per-frame fusion (reference: mask2former_min_vis.py:132-224).
         """
+        ori_hw = ori_hw or tuple(frames.shape[1:3])
         cls_logits, mask_logits, query = self.forward_frames(frames)
         embds = np.asarray(query)
         perms = minvis_stitch(embds)
@@ -135,7 +167,7 @@ class SegmenterInference:
         query_aligned = jnp.take_along_axis(query, idx[:, :, None], axis=1)
         cls_mean = cls_aligned.mean(axis=0, keepdims=True)
         cls_mean = jnp.broadcast_to(cls_mean, cls_aligned.shape)
-        masks_up = self.upsample_masks(masks_aligned, frames.shape[1:3])
+        masks_up = self.upsample_masks(masks_aligned, self._padded_hw(frames))
         masks_up = masks_up[:, :, :ori_hw[0], :ori_hw[1]]
         fusion = self._fuse(cls_mean, masks_up)
         return self._package(fusion, query_aligned)

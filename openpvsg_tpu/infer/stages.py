@@ -25,8 +25,7 @@ from openpvsg_tpu import INSTANCE_OFFSET
 from openpvsg_tpu.config import PVSGConfig
 from openpvsg_tpu.data import io as data_io
 from openpvsg_tpu.data import rle as rle_codec
-from openpvsg_tpu.data.pipeline import (load_frame, pad_to_divisor,
-                                        preprocess_test_frame)
+from openpvsg_tpu.data.pipeline import load_frame
 from openpvsg_tpu.data.pvsg import PVSGRelationAnnotation, frame_paths
 from openpvsg_tpu.eval.relation_matching import (
     compact_matching_dict, match_gt_tubes, process_feats_and_relations,
@@ -34,13 +33,6 @@ from openpvsg_tpu.eval.relation_matching import (
 from openpvsg_tpu.infer.segmenter import SegmenterInference
 from openpvsg_tpu.tracker.tracker import MaskAssociationTracker
 from openpvsg_tpu.tracker.tubes import QueryFeatTube
-
-
-def _preprocess_batch(frames: List[np.ndarray], divisor: int = 32) -> np.ndarray:
-    h, w = frames[0].shape[:2]
-    ph, pw = pad_to_divisor(h, w, divisor)
-    return np.stack([
-        np.asarray(preprocess_test_frame(f, ph, pw)) for f in frames])
 
 
 def _segments_to_masks(pan: np.ndarray, query_feats: Dict[int, np.ndarray],
@@ -81,9 +73,8 @@ def run_query_tube_ips(
         timer.tic()
         paths = frame_files[lo:lo + batch_size]
         raw = [load_frame(p) for p in paths]
-        ori_hw = raw[0].shape[:2]
-        batch = _preprocess_batch(raw)
-        outputs = segmenter.infer_frames_ips(batch, ori_hw)
+        # raw uint8 batch: normalize/pad run inside the forward jit
+        outputs = segmenter.infer_frames_ips(np.stack(raw))
         for img, out in zip(raw, outputs):
             frame_id += 1
             masks, qfeats = _segments_to_masks(
@@ -127,9 +118,7 @@ def run_query_tube_vps(
     for lo in range(0, total_frames, window):
         paths = frame_files[lo:lo + window]
         raw = [load_frame(p) for p in paths]
-        ori_hw = raw[0].shape[:2]
-        batch = _preprocess_batch(raw)
-        outputs = segmenter.infer_window_vps(batch, ori_hw)
+        outputs = segmenter.infer_window_vps(np.stack(raw))
         for out in outputs:
             rles, tids = [], []
             for seg_id, feat in out["query_feats"].items():

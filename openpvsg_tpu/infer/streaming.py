@@ -22,7 +22,6 @@ import numpy as np
 
 from openpvsg_tpu import INSTANCE_OFFSET
 from openpvsg_tpu.config import Mask2FormerConfig, RelationHeadConfig
-from openpvsg_tpu.data.pipeline import pad_to_divisor, preprocess_test_frame
 from openpvsg_tpu.infer.segmenter import SegmenterInference
 from openpvsg_tpu.models.relation.heads import RelationModel
 from openpvsg_tpu.models.relation.utils import (concatenate_sub_obj,
@@ -74,11 +73,7 @@ class StreamingPVSG:
     def _flush_window(self) -> Dict:
         frames = self._buf
         self._buf = []
-        ori_hw = frames[0].shape[:2]
-        ph, pw = pad_to_divisor(*ori_hw)
-        batch = np.stack([np.asarray(preprocess_test_frame(f, ph, pw))
-                          for f in frames])
-        outputs = self.seg.infer_window_vps(batch, ori_hw)
+        outputs = self.seg.infer_window_vps(np.stack(frames))
 
         frame_ids, pans = [], []
         for out in outputs:

@@ -22,18 +22,46 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+class ShardedFrameForward:
+    """Persistent frame-sharded executor: weights are replicated over the
+    mesh ONCE at construction and the forward is jitted ONCE — repeated
+    calls pay only the sharded frame upload (the round-1 functional helper
+    re-jitted and re-device_put the weights per call)."""
+
+    def __init__(self, mesh: Mesh, model_apply: Callable, variables):
+        self.mesh = mesh
+        self.variables = jax.device_put(variables, NamedSharding(mesh, P()))
+        self._fwd = jax.jit(model_apply)
+
+    def __call__(self, frames: np.ndarray):
+        """frames: (N, ...), N divisible by the data-axis size. Returns the
+        model outputs with the frame axis sharded over 'data'."""
+        n_data = self.mesh.shape["data"]
+        assert frames.shape[0] % n_data == 0, (
+            f"frame count {frames.shape[0]} not divisible by data axis "
+            f"{n_data}")
+        spec = P("data", *([None] * (frames.ndim - 1)))
+        x = jax.device_put(jnp.asarray(frames),
+                           NamedSharding(self.mesh, spec))
+        return self._fwd(self.variables, x)
+
+
+# cache for the functional wrappers: (apply_fn, mesh) -> executor. The
+# variables placed at first use are reused; callers that change weights
+# should hold a ShardedFrameForward directly.
+_EXECUTORS: dict = {}
+
+
 def sharded_frame_forward(mesh: Mesh, model_apply: Callable, variables,
                           frames: np.ndarray):
-    """frames: (N, H, W, 3), N divisible by the data-axis size. Returns the
-    model outputs with the frame axis sharded over 'data'."""
-    n_data = mesh.shape["data"]
-    assert frames.shape[0] % n_data == 0, (
-        f"frame count {frames.shape[0]} not divisible by data axis {n_data}")
-    frames = jax.device_put(
-        jnp.asarray(frames), NamedSharding(mesh, P("data", None, None, None)))
-    variables = jax.device_put(variables, NamedSharding(mesh, P()))
-    fwd = jax.jit(model_apply)
-    return fwd(variables, frames)
+    """Functional wrapper over ShardedFrameForward (cached per
+    (model_apply, mesh) so repeat calls don't retrace or re-replicate)."""
+    key = (model_apply, mesh)
+    ex = _EXECUTORS.get(key)
+    if ex is None:
+        ex = _EXECUTORS[key] = ShardedFrameForward(mesh, model_apply,
+                                                   variables)
+    return ex(frames)
 
 
 def pad_frames_for_mesh(frames: np.ndarray, n_data: int) -> Tuple[np.ndarray, int]:
@@ -57,8 +85,9 @@ def sharded_pair_predict(mesh: Mesh, predict_apply: Callable, params,
         pair_feats = np.concatenate(
             [pair_feats, np.zeros((rem, *pair_feats.shape[1:]),
                                   pair_feats.dtype)])
-    x = jax.device_put(jnp.asarray(pair_feats),
-                       NamedSharding(mesh, P("data", None, None)))
-    params = jax.device_put(params, NamedSharding(mesh, P()))
-    span, prob = jax.jit(predict_apply)(params, x)
+    key = (predict_apply, mesh)
+    ex = _EXECUTORS.get(key)
+    if ex is None:
+        ex = _EXECUTORS[key] = ShardedFrameForward(mesh, predict_apply, params)
+    span, prob = ex(pair_feats)
     return span[:p], prob[:p]

@@ -49,6 +49,69 @@ def test_sharded_frame_forward_matches_single(mesh, rng):
     np.testing.assert_allclose(np.asarray(masks_sh), np.asarray(masks_1), atol=1e-3)
 
 
+def test_segmenter_inference_mesh_matches_single(mesh, rng):
+    """The tools' path (VERDICT r1 #2): SegmenterInference with a mesh,
+    fed RAW uint8 frames at a non-divisible count, must reproduce the
+    single-device panoptic maps and query feats."""
+    from openpvsg_tpu.config import (BackboneConfig, Mask2FormerConfig,
+                                     PixelDecoderConfig,
+                                     TransformerDecoderConfig)
+    from openpvsg_tpu.infer.segmenter import SegmenterInference
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    cfg = Mask2FormerConfig(
+        num_things_classes=3, num_stuff_classes=2, num_queries=4,
+        backbone=BackboneConfig(depth=26),
+        pixel_decoder=PixelDecoderConfig(encoder_layers=1, ffn_channels=32),
+        decoder=TransformerDecoderConfig(num_layers=1, ffn_channels=32),
+        object_mask_thr=0.01, iou_thr=0.1)
+    model = Mask2Former(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32, 3)))
+    # 34x46: exercises in-jit pad-to-/32; 5 frames: exercises mesh padding
+    frames = rng.integers(0, 255, (5, 34, 46, 3)).astype(np.uint8)
+
+    seg_multi = SegmenterInference(cfg, variables, mesh=mesh)
+    seg_single = SegmenterInference(cfg, variables)
+    outs_m = seg_multi.infer_frames_ips(frames)
+    outs_s = seg_single.infer_frames_ips(frames)
+    assert len(outs_m) == len(outs_s) == 5
+    for om, os_ in zip(outs_m, outs_s):
+        assert om["pan_results"].shape == (34, 46)
+        np.testing.assert_array_equal(om["pan_results"], os_["pan_results"])
+        assert set(om["query_feats"]) == set(os_["query_feats"])
+        for sid, f in om["query_feats"].items():
+            np.testing.assert_allclose(f, os_["query_feats"][sid], atol=1e-4)
+
+
+def test_raw_uint8_matches_explicit_preprocess(rng):
+    """The fused in-jit normalize+pad equals the explicit host pipeline."""
+    from openpvsg_tpu.config import (BackboneConfig, Mask2FormerConfig,
+                                     PixelDecoderConfig,
+                                     TransformerDecoderConfig)
+    from openpvsg_tpu.data.pipeline import pad_to_divisor, preprocess_test_frame
+    from openpvsg_tpu.infer.segmenter import SegmenterInference
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    cfg = Mask2FormerConfig(
+        num_things_classes=3, num_stuff_classes=2, num_queries=4,
+        backbone=BackboneConfig(depth=26),
+        pixel_decoder=PixelDecoderConfig(encoder_layers=1, ffn_channels=32),
+        decoder=TransformerDecoderConfig(num_layers=1, ffn_channels=32),
+        object_mask_thr=0.01, iou_thr=0.1)
+    model = Mask2Former(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32, 3)))
+    seg = SegmenterInference(cfg, variables)
+
+    raw = rng.integers(0, 255, (2, 34, 46, 3)).astype(np.uint8)
+    ph, pw = pad_to_divisor(34, 46)
+    pre = np.stack([np.asarray(preprocess_test_frame(f, ph, pw)) for f in raw])
+
+    outs_raw = seg.infer_frames_ips(raw)
+    outs_pre = seg.infer_frames_ips(pre, ori_hw=(34, 46))
+    for a, b in zip(outs_raw, outs_pre):
+        np.testing.assert_array_equal(a["pan_results"], b["pan_results"])
+
+
 def test_pad_frames(mesh):
     frames = np.zeros((5, 4, 4, 3))
     padded, n = pad_frames_for_mesh(frames, 4)

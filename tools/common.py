@@ -29,10 +29,57 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
                    help="dotted config overrides (the --cfg-options equivalent)")
+    # multi-host distributed init (replaces the reference's mmcv init_dist
+    # slurm/pytorch/mpi launchers, tools/train.py:84-87,173): one process per
+    # host, XLA collectives over ICI/DCN instead of NCCL.
+    p.add_argument("--dist-init", action="store_true",
+                   help="call jax.distributed.initialize() with "
+                        "auto-discovery (TPU pod runtime)")
+    p.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                   help="explicit coordinator address (non-TPU clusters)")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     return p
 
 
+def init_distributed(args) -> None:
+    """Multi-host runtime init. No-op unless --dist-init/--dist-coordinator
+    is given, so single-host invocations are unchanged. Must run before any
+    backend initializes, hence called at the top of load_config."""
+    coord = getattr(args, "dist_coordinator", None)
+    if not (coord or getattr(args, "dist_init", False)):
+        return
+    import jax
+
+    kwargs = {}
+    if coord:
+        if args.dist_num_processes is None or args.dist_process_id is None:
+            raise SystemExit(
+                "--dist-coordinator requires --dist-num-processes and "
+                "--dist-process-id")
+        kwargs = dict(coordinator_address=coord,
+                      num_processes=args.dist_num_processes,
+                      process_id=args.dist_process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def maybe_mesh(min_devices: int = 2):
+    """A ('data', 'time') mesh over all addressable devices when more than
+    one is visible, else None — the tools' opt-out-free path to frame-/batch-
+    sharded execution (multi-host: jax.devices() is the global list, so the
+    mesh spans every process after init_distributed)."""
+    import jax
+
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    from openpvsg_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_data=len(devices), devices=devices)
+
+
 def load_config(args) -> PVSGConfig:
+    init_distributed(args)
     cfg = get_config(args.config)
     cfg = apply_overrides(cfg, parse_set_args(args.set))
     if args.work_dir:

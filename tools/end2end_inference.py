@@ -19,7 +19,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import (base_parser, load_config, maybe_mesh,
+                          setup_logging)
 from tools.rel_test import load_relation_params
 
 
@@ -67,7 +68,12 @@ def main():
                                jnp.zeros((1, 1, 64, 64, 3)))
         logger.warning("no segmenter checkpoint: random weights")
     infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
+    mesh = maybe_mesh()
+    if mesh is not None:
+        logger.info(f"frame-sharded inference over "
+                    f"{mesh.devices.size} devices")
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype,
+                             mesh=mesh)
 
     # --- relation head
     rel_model = RelationModel(model_name=args.model_name)
@@ -75,8 +81,11 @@ def main():
         rel_params = load_relation_params(args.relation_checkpoint,
                                           args.model_name)
     else:
+        # init must trace BOTH the pair-proposal (__call__) and the span
+        # predictor (predict) paths, or predict's params are missing
         rel_params = rel_model.init(
-            jax.random.PRNGKey(2), jnp.zeros((2, 4, 256)))["params"]
+            jax.random.PRNGKey(2), jnp.zeros((2, 4, 256)),
+            jnp.zeros((2, 4, 512)))["params"]
         logger.warning("no relation checkpoint: random weights")
 
     tracker_vars = None

@@ -7,7 +7,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import (base_parser, load_config, maybe_mesh,
+                          setup_logging)
 
 
 def main():
@@ -50,7 +51,12 @@ def main():
                                jnp.zeros((1, 1, 64, 64, 3)))
         logger.warning("no checkpoint: random weights")
     infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
+    mesh = maybe_mesh()
+    if mesh is not None:
+        logger.info(f"frame-sharded inference over "
+                    f"{mesh.devices.size} devices")
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype,
+                             mesh=mesh)
 
     app = make_appearance_model(depth=cfg.tracker.appearance_depth)
     if args.appearance_checkpoint:

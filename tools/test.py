@@ -12,7 +12,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import (base_parser, load_config, maybe_mesh,
+                          setup_logging)
 
 
 def main():
@@ -29,7 +30,7 @@ def main():
     import jax.numpy as jnp
 
     from openpvsg_tpu.data.datasets import PVSGImageDataset
-    from openpvsg_tpu.data.pipeline import pad_to_divisor, preprocess_test_frame
+    from openpvsg_tpu.data.pipeline import pad_to_divisor
     from openpvsg_tpu.infer.segmenter import SegmenterInference
     from openpvsg_tpu.models.mask2former import Mask2Former
 
@@ -54,16 +55,18 @@ def main():
         logger.warning("no checkpoint given: evaluating random weights")
 
     infer_dtype = jnp.bfloat16 if jax.devices()[0].platform != "cpu" else jnp.float32
-    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype)
+    mesh = maybe_mesh()
+    if mesh is not None:
+        logger.info(f"frame-sharded inference over "
+                    f"{mesh.devices.size} devices")
+    seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype,
+                             mesh=mesh)
     results = []
     bs = args.batch_size
     for lo in range(0, len(dataset), bs):
-        frames, hw = [], None
-        for i in range(lo, min(lo + bs, len(dataset))):
-            img = dataset[i]["img"]
-            hw = img.shape[:2]
-            frames.append(np.asarray(preprocess_test_frame(img, ph, pw)))
-        outs = seg.infer_frames_ips(np.stack(frames), hw)
+        frames = [dataset[i]["img"]
+                  for i in range(lo, min(lo + bs, len(dataset)))]
+        outs = seg.infer_frames_ips(np.stack(frames))
         results.extend(o["pan_results"] for o in outs)
         if lo % (bs * 20) == 0:
             logger.info(f"{lo}/{len(dataset)}")
