@@ -37,11 +37,13 @@ class AxialAttentionBlock(nn.Module):
     dim: int
     ffn_dim: int
     dtype: Any = jnp.float32
+    fast_norm: bool = False  # LN stats in compute dtype (see PERF.md)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C); pos: (1, H, W, C)."""
         B, H, W, C = x.shape
+        f32r = not self.fast_norm
         row_attn = MultiheadAttention(self.num_heads, self.dim, self.dtype,
                                       name="row_attn")
         col_attn = MultiheadAttention(self.num_heads, self.dim, self.dtype,
@@ -50,8 +52,8 @@ class AxialAttentionBlock(nn.Module):
         # rows: (B*H, W, C)
         q = (x + pos).reshape(B * H, W, C)
         y = row_attn(q, q, x.reshape(B * H, W, C))
-        x = nn.LayerNorm(dtype=self.dtype, name="norm_row")(
-            x + y.reshape(B, H, W, C))
+        x = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
+                         name="norm_row")(x + y.reshape(B, H, W, C))
 
         # cols: (B*W, H, C)
         xt = x.transpose(0, 2, 1, 3)
@@ -59,12 +61,14 @@ class AxialAttentionBlock(nn.Module):
         q = (xt + post).reshape(B * W, H, C)
         y = col_attn(q, q, xt.reshape(B * W, H, C))
         x = x + y.reshape(B, W, H, C).transpose(0, 2, 1, 3)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm_col")(x)
+        x = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
+                         name="norm_col")(x)
 
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="ffn_fc2")(y)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm_ffn")(x + y)
+        x = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
+                         name="norm_ffn")(x + y)
         return x
 
 
@@ -74,6 +78,7 @@ class AxialPixelEncoder(nn.Module):
     (B, h, w, C) each), returns enhanced levels in the same order."""
     cfg: PixelDecoderConfig
     dtype: Any = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, levels: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
@@ -92,7 +97,7 @@ class AxialPixelEncoder(nn.Module):
         for layer in range(cfg.encoder_layers):
             block = AxialAttentionBlock(
                 cfg.num_heads, C, cfg.ffn_channels, dtype=self.dtype,
-                name=f"layer_{layer}")
+                fast_norm=self.fast_norm, name=f"layer_{layer}")
             xs = [block(x, p) for x, p in zip(xs, poss)]
             # top-down cross-scale fusion: levels are ordered coarse->fine
             mixed = [xs[0]]

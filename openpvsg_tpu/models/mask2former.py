@@ -51,6 +51,7 @@ class Mask2FormerHead(nn.Module):
     # pre-resized mask features (resize is linear, so
     # resize(einsum(q, F)) == einsum(q, resize(F)) — no approximation).
     all_layer_masks: bool = True
+    fast_norm: bool = False  # LN/GN stats in compute dtype (PERF.md)
 
     @nn.compact
     def __call__(self, mask_features: jnp.ndarray,
@@ -101,7 +102,9 @@ class Mask2FormerHead(nn.Module):
         query = jnp.broadcast_to(query_feat[None], (B, Q, C)).astype(self.dtype)
         query_pos = jnp.broadcast_to(query_embed[None], (B, Q, C)).astype(self.dtype)
 
-        decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
+        decoder_norm = nn.LayerNorm(dtype=self.dtype,
+                                    force_float32_reductions=not self.fast_norm,
+                                    name="decoder_norm")
         cls_embed = nn.Dense(cfg.num_classes + 1, dtype=self.dtype, name="cls_embed")
         mask_embed = MaskEmbedMLP(C, dtype=self.dtype, name="mask_embed")
 
@@ -133,6 +136,7 @@ class Mask2FormerHead(nn.Module):
             lvl = layer % n_levels
             attn_mask = attn_mask_for(membed, lvl)
             query = MaskedDecoderLayer(cfg.decoder, dtype=self.dtype,
+                                       fast_norm=self.fast_norm,
                                        name=f"layer_{layer}")(
                 query, query_pos, feats_flat[lvl], pos_flat[lvl], attn_mask)
             cls_p, membed, normed = head_common(query)
@@ -160,6 +164,7 @@ class Mask2Former(nn.Module):
     train: bool = False
     axis_name: str | None = None
     dtype: Any = jnp.float32
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
@@ -186,14 +191,16 @@ class Mask2Former(nn.Module):
                 name="backbone",
             )(x)
         mask_features, ms_feats = MSDeformAttnPixelDecoder(
-            cfg.pixel_decoder, dtype=self.dtype, name="pixel_decoder")(feats)
+            cfg.pixel_decoder, dtype=self.dtype, fast_norm=self.fast_norm,
+            name="pixel_decoder")(feats)
 
         def unflatten(f):
             _, h, w, c = f.shape
             return f.reshape(B, T, h, w, c)
 
         cls_preds, mask_preds, query_feats = Mask2FormerHead(
-            cfg, dtype=self.dtype, all_layer_masks=self.train, name="head")(
+            cfg, dtype=self.dtype, all_layer_masks=self.train,
+            fast_norm=self.fast_norm, name="head")(
             unflatten(mask_features), [unflatten(f) for f in ms_feats])
         out = {
             "cls_preds": cls_preds,      # (L+1, B, Q, K+1)

@@ -100,6 +100,7 @@ class ConvGN(nn.Module):
     num_groups: int = 32
     act: bool = False
     dtype: Any = jnp.float32
+    fast_norm: bool = False  # GN stats in compute dtype (see PERF.md)
 
     @nn.compact
     def __call__(self, x):
@@ -107,7 +108,9 @@ class ConvGN(nn.Module):
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                     padding=((pad, pad), (pad, pad)), use_bias=True,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype, name="gn")(x)
+        x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
+                         force_float32_reductions=not self.fast_norm,
+                         name="gn")(x)
         if self.act:
             x = nn.relu(x)
         return x
@@ -116,6 +119,7 @@ class ConvGN(nn.Module):
 class MSDeformAttnPixelDecoder(nn.Module):
     cfg: PixelDecoderConfig
     dtype: Any = jnp.float32
+    fast_norm: bool = False
 
     def _msda_encoder(self, projs: Sequence[jnp.ndarray],
                       spatial_shapes: Sequence[Tuple[int, int]]):
@@ -156,10 +160,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
                 name=f"encoder_layer_{layer}_attn",
             )(x + pos, x, reference_points, spatial_shapes)
             x = nn.LayerNorm(dtype=self.dtype,
+                             force_float32_reductions=not self.fast_norm,
                              name=f"encoder_layer_{layer}_norm1")(x + attn_out)
             x = FFN(cfg.ffn_channels, C, dtype=self.dtype,
                     name=f"encoder_layer_{layer}_ffn")(x)
             x = nn.LayerNorm(dtype=self.dtype,
+                             force_float32_reductions=not self.fast_norm,
                              name=f"encoder_layer_{layer}_norm2")(x)
 
         outs: List[jnp.ndarray] = []
@@ -187,7 +193,8 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for i in range(n_enc):
             level_idx = n_in - i - 1
             proj = ConvGN(C, kernel=1, num_groups=cfg.num_groups,
-                          dtype=self.dtype, name=f"input_conv_{i}")(feats[level_idx])
+                          dtype=self.dtype, fast_norm=self.fast_norm,
+                          name=f"input_conv_{i}")(feats[level_idx])
             projs.append(proj)
             spatial_shapes.append(proj.shape[1:3])
         B = projs[0].shape[0]
@@ -196,6 +203,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             from openpvsg_tpu.models.axial_encoder import AxialPixelEncoder
 
             outs = AxialPixelEncoder(cfg, dtype=self.dtype,
+                                     fast_norm=self.fast_norm,
                                      name="axial_encoder")(projs)
         else:
             outs = self._msda_encoder(projs, spatial_shapes)
@@ -205,10 +213,12 @@ class MSDeformAttnPixelDecoder(nn.Module):
         y = outs[-1]
         for i in range(n_in - n_enc - 1, -1, -1):
             lateral = ConvGN(C, kernel=1, num_groups=cfg.num_groups,
-                             dtype=self.dtype, name=f"lateral_conv_{i}")(feats[i])
+                             dtype=self.dtype, fast_norm=self.fast_norm,
+                             name=f"lateral_conv_{i}")(feats[i])
             y = lateral + resize_bilinear(y, lateral.shape[1:3])
             y = ConvGN(C, kernel=3, num_groups=cfg.num_groups, act=True,
-                       dtype=self.dtype, name=f"output_conv_{i}")(y)
+                       dtype=self.dtype, fast_norm=self.fast_norm,
+                       name=f"output_conv_{i}")(y)
             outs.append(y)
 
         mask_feature = nn.Conv(cfg.out_channels, (1, 1), dtype=self.dtype,

@@ -77,25 +77,33 @@ class DecoderFFN(nn.Module):
 class MaskedDecoderLayer(nn.Module):
     cfg: TransformerDecoderConfig
     dtype: Any = jnp.float32
+    # fast_norm=True computes LN statistics in the compute dtype instead of
+    # fp32 — removes the convert_reduce_fusion ops that PERF.md identified as
+    # ~11% of the inference window (no-op when dtype is float32)
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, query, query_pos, feat, feat_pos, attn_mask):
         """query: (B, Q, C); feat: (B, S, C); attn_mask: (B, Q, S) bool
         (True = attend)."""
         c = self.cfg
+        f32r = not self.fast_norm
         # masked cross-attention (operation_order puts cross first)
         x = MultiheadAttention(c.num_heads, c.feat_channels, self.dtype,
                                name="cross_attn")(
             query + query_pos, feat + feat_pos, feat, mask=attn_mask)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm1")(query + x)
+        query = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
+                             name="norm1")(query + x)
         # self-attention among queries
         x = MultiheadAttention(c.num_heads, c.feat_channels, self.dtype,
                                name="self_attn")(
             query + query_pos, query + query_pos, query)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm2")(query + x)
+        query = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
+                             name="norm2")(query + x)
         query = DecoderFFN(c.ffn_channels, c.feat_channels, self.dtype,
                            name="ffn")(query)
-        query = nn.LayerNorm(dtype=self.dtype, name="norm3")(query)
+        query = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
+                             name="norm3")(query)
         return query
 
 

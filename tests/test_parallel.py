@@ -118,6 +118,42 @@ def test_pad_frames(mesh):
     assert padded.shape[0] == 8 and n == 5
 
 
+def test_time_sharded_relation_matches_single(rng):
+    """(data, time) = (4, 2) mesh: frame axis sharded over 'time', pairs over
+    'data' — outputs must match the single-device relation forward exactly
+    (VERDICT r1 #6). T=7 is deliberately non-divisible (pads to 8)."""
+    from openpvsg_tpu.models.relation.heads import RelationModel
+    from openpvsg_tpu.parallel.tp import TimeShardedRelation
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_time=2)
+
+    model = RelationModel(model_name="transformer", feature_dim=32,
+                          num_relations=9)
+    N, T, D = 5, 7, 32
+    feats = rng.standard_normal((N, T, D)).astype(np.float32)
+    pair_feats = rng.standard_normal((6, T, 2 * D)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, D)),
+                        jnp.zeros((2, 4, 2 * D)))["params"]
+
+    ts = TimeShardedRelation(mesh, model, params)
+    out_sh = ts.propose(feats)
+    span_sh, prob_sh = ts.predict(pair_feats)
+
+    out_1 = model.apply({"params": params}, jnp.asarray(feats))
+    span_1, prob_1 = model.apply({"params": params}, jnp.asarray(pair_feats),
+                                 method=RelationModel.predict)
+    np.testing.assert_allclose(np.asarray(out_sh["pred_matrix"]),
+                               np.asarray(out_1["pred_matrix"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_sh["sub_feats"]),
+                               np.asarray(out_1["sub_feats"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(span_sh), np.asarray(span_1),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(prob_sh), np.asarray(prob_1),
+                               atol=1e-4)
+
+
 def test_sharded_pair_predict(mesh, rng):
     from openpvsg_tpu.models.relation.heads import RelationModel
 
