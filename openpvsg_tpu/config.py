@@ -129,6 +129,10 @@ class TrackerConfig:
     prop_flag: bool = False
     down_factor: int = 8
     appearance_depth: int = 50  # ResNet depth of the appearance model
+    # appearance-encoder zoo entry + layer surgery (reference model_type /
+    # remove_layers, models/unitrack/model/model.py:89-147; see tracker/zoo.py)
+    model_type: str = "imagenet50"
+    remove_layers: Tuple[str, ...] = ("layer4",)
 
 
 @dataclass(frozen=True)
@@ -280,7 +284,8 @@ def _replace_path(obj: Any, parts: List[str], value: Any) -> Any:
             elif isinstance(cur, (int, float)):
                 value = type(cur)(value)
             elif isinstance(cur, tuple):
-                value = tuple(type(cur[0])(v) for v in str(value).split(","))
+                value = tuple(type(cur[0])(v)
+                  for v in str(value).strip("()[] ").split(","))
         return dataclasses.replace(obj, **{parts[0]: value})
     child = getattr(obj, parts[0])
     return dataclasses.replace(obj, **{parts[0]: _replace_path(child, parts[1:], value)})

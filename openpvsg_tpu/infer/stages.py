@@ -51,6 +51,35 @@ def _segments_to_masks(pan: np.ndarray, query_feats: Dict[int, np.ndarray],
     return np.stack(masks), feats
 
 
+def save_tracking_overlay(save_root: str, frame_id: int, img: np.ndarray,
+                          masks: Sequence[np.ndarray],
+                          track_ids: Sequence[int]) -> None:
+    """Per-frame qualitative overlay PNG (reference:
+    models/unitrack/test_mots_from_mask2former.py:72-78 and
+    mask2former_vps/utils.py:55-69 — 'qualititive/' spelling kept for
+    output-tree compatibility): each track's mask blended in its stable
+    palette color, annotated with the track id."""
+    from PIL import Image, ImageDraw
+
+    from openpvsg_tpu.utils.palette import color_for
+
+    out = img.astype(np.float32)
+    for mask, tid in zip(masks, track_ids):
+        m = mask.astype(bool)
+        out[m] = 0.5 * out[m] + 0.5 * np.asarray(color_for(int(tid)),
+                                                 np.float32)
+    im = Image.fromarray(out.astype(np.uint8))
+    draw = ImageDraw.Draw(im)
+    for mask, tid in zip(masks, track_ids):
+        ys, xs = np.nonzero(mask)
+        if len(ys):
+            draw.text((int(xs.min()), int(ys.min())), str(int(tid)),
+                      fill=(255, 255, 255))
+    d = os.path.join(save_root, "qualititive")
+    os.makedirs(d, exist_ok=True)
+    im.save(os.path.join(d, f"{frame_id:06d}.png"))
+
+
 def run_query_tube_ips(
     segmenter: SegmenterInference,
     tracker: MaskAssociationTracker,
@@ -58,6 +87,7 @@ def run_query_tube_ips(
     save_root: str,
     batch_size: int = 8,
     log_fn=None,
+    save_images: bool = False,
 ) -> int:
     """IPS stage 2 for one video. Returns the number of tubes. Logs running
     fps every 20 frames (the reference's only throughput surface,
@@ -80,7 +110,7 @@ def run_query_tube_ips(
             masks, qfeats = _segments_to_masks(
                 out["pan_results"], out["query_feats"], num_classes)
             online, _ = tracker.update(img.astype(np.float32), masks, qfeats)
-            rles, tids = [], []
+            rles, tids, vis_masks = [], [], []
             for t in online:
                 if t.mask is None:
                     continue
@@ -88,7 +118,11 @@ def run_query_tube_ips(
                 rle["class_id"] = t.cls_id
                 rles.append(rle)
                 tids.append(t.track_id)
+                vis_masks.append(t.mask)
             results.append((frame_id, rles, tids))
+            if save_images:
+                save_tracking_overlay(save_root, frame_id, img, vis_masks,
+                                      tids)
         timer.toc()
         if log_fn and frame_id % 20 < batch_size:
             fps = len(paths) / max(timer.diff, 1e-5)
@@ -106,6 +140,7 @@ def run_query_tube_vps(
     frame_files: Sequence[str],
     save_root: str,
     window: int = 2,
+    save_images: bool = False,
 ) -> int:
     """VPS stage 2 for one video: tube identity from panoptic segment ids
     (reference: concat_seq — no tracker needed)."""
@@ -119,8 +154,8 @@ def run_query_tube_vps(
         paths = frame_files[lo:lo + window]
         raw = [load_frame(p) for p in paths]
         outputs = segmenter.infer_window_vps(np.stack(raw))
-        for out in outputs:
-            rles, tids = [], []
+        for img, out in zip(raw, outputs):
+            rles, tids, vis_masks = [], [], []
             for seg_id, feat in out["query_feats"].items():
                 if seg_id not in object_list:
                     object_list.append(seg_id)
@@ -135,7 +170,11 @@ def run_query_tube_vps(
                 rle["class_id"] = seg_id % INSTANCE_OFFSET
                 rles.append(rle)
                 tids.append(tid)
+                vis_masks.append(mask)
             results.append((frame_id + 1, rles, tids))
+            if save_images:
+                save_tracking_overlay(save_root, frame_id + 1, img,
+                                      vis_masks, tids)
             frame_id += 1
 
     data_io.write_masks_txt(

@@ -17,7 +17,10 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 # 26 = one bottleneck per stage (test/debug scale)
-STAGE_BLOCKS = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+STAGE_BLOCKS = {18: (2, 2, 2, 2), 26: (1, 1, 1, 1), 34: (3, 4, 6, 3),
+                50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+# depths built from BasicBlock (2 convs, expansion 1) instead of Bottleneck
+BASIC_DEPTHS = (18, 34)
 
 
 class Norm(nn.Module):
@@ -79,9 +82,45 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock (resnet18/34): two 3x3 convs, expansion 1 —
+    the UniTrack appearance zoo's resnet18 entries (crw/uvc/imagenet18,
+    reference: models/unitrack/model/resnet.py)."""
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    norm: str = "frozen_bn"
+    train: bool = False
+    axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)), use_bias=False,
+                      dtype=self.dtype, name="conv1")(x)
+        out = Norm(self.norm, self.train, self.axis_name, self.dtype,
+                   name="bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+        out = Norm(self.norm, self.train, self.axis_name, self.dtype,
+                   name="bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = Norm(self.norm, self.train, self.axis_name, self.dtype,
+                            name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
 class ResNet(nn.Module):
     """Returns the requested stage outputs (strides 4/8/16/32, channels
-    256/512/1024/2048 for depth 50)."""
+    256/512/1024/2048 for depth 50; 64/128/256/512 for the BasicBlock
+    depths 18/34)."""
     depth: int = 50
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     norm: str = "frozen_bn"
@@ -104,13 +143,17 @@ class ResNet(nn.Module):
 
         outs = []
         planes = 64
+        block_cls = BasicBlock if self.depth in BASIC_DEPTHS else Bottleneck
         for stage, n_blocks in enumerate(blocks):
             stride = self.stage_strides[stage]
             for b in range(n_blocks):
-                x = Bottleneck(
+                # BasicBlock stage 1 needs no downsample (64 -> 64, stride 1)
+                down = (b == 0) and not (block_cls is BasicBlock
+                                         and stage == 0 and stride == 1)
+                x = block_cls(
                     planes=planes,
                     stride=stride if b == 0 else 1,
-                    downsample=(b == 0),
+                    downsample=down,
                     norm=self.norm,
                     train=self.train,
                     axis_name=self.axis_name,

@@ -27,14 +27,28 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
-def make_appearance_model(norm: str = "frozen_bn", depth: int = 50):
-    """ResNet truncated at layer3 (stride 8 via stage-3 stride 1),
-    matching the `imagenet50 s3` UniTrack zoo entry."""
-    return ResNet(depth=depth, num_stages=3, out_indices=(2,),
-                  stage_strides=(1, 2, 1), norm=norm)
+def make_appearance_model(norm: str = "frozen_bn", depth: int = 50,
+                          model_type: str | None = None,
+                          remove_layers=("layer4",)):
+    """Appearance encoder from the zoo (tracker/zoo.py). The default —
+    `imagenet50` with layer4 removed — is the `imagenet50 s3` UniTrack entry
+    the PVSG config uses (ResNet cut at layer3, stride 8). `depth` remains
+    for the debug-scale depth-26 path used in tests."""
+    if model_type is None and depth not in (18, 34, 50, 101):
+        # debug/test scale: not a zoo entry
+        return ResNet(depth=depth, num_stages=3, out_indices=(2,),
+                      stage_strides=(1, 2, 1), norm=norm)
+    from openpvsg_tpu.tracker.zoo import make_encoder
+
+    if model_type is None:
+        model_type = {18: "imagenet18", 34: "imagenet34", 50: "imagenet50",
+                      101: "imagenet101"}[depth]
+    model, _ = make_encoder(model_type, remove_layers, norm=norm)
+    return model
 
 
-@partial(jax.jit, static_argnames=("max_pixels", "max_mask_area", "down", "depth"))
+@partial(jax.jit, static_argnames=("max_pixels", "max_mask_area", "down",
+                                   "depth", "model_type"))
 def extract_object_embeddings(
     variables: Any,
     frame: jnp.ndarray,
@@ -43,13 +57,14 @@ def extract_object_embeddings(
     max_mask_area: int = 300,
     down: int = 8,
     depth: int = 50,
+    model_type: str | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """frame: (H, W, 3) uint8/float RGB in [0, 255]; masks: (N, H, W) binary.
 
     Returns (feats (N, max_pixels, D) channel-L2-normalized zero-padded pixel
     features, valid (N, max_pixels) bool). One fused device call per frame.
     """
-    model = make_appearance_model(depth=depth)
+    model = make_appearance_model(depth=depth, model_type=model_type)
     x = frame.astype(jnp.float32) / 255.0
     x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     feat = model.apply(variables, x[None])[0][0]  # (h, w, D)

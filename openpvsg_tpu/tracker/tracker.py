@@ -58,7 +58,10 @@ class MaskAssociationTracker:
         feats, valid = extract_object_embeddings(
             self.appearance_variables, frame, masks,
             max_mask_area=self.cfg.max_mask_area,
-            depth=self.cfg.appearance_depth)
+            depth=self.cfg.appearance_depth,
+            model_type=getattr(self.cfg, "model_type", None)
+            if getattr(self.cfg, "model_type", "imagenet50") != "imagenet50"
+            else None)
         feats = np.asarray(feats)
         valid = np.asarray(valid)
         boxes = np.stack([mask_to_box(m) for m in masks])

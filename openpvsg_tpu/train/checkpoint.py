@@ -129,9 +129,11 @@ def _convert_resnet_backbone(tb: _TreeBuilder, sd: Dict[str, np.ndarray],
         while f"{src}.layer{stage}.{b}.conv1.weight" in sd:
             p = f"{src}.layer{stage}.{b}"
             d = f"{dst}/layer{stage}_{b}"
-            for c in (1, 2, 3):
+            c = 1
+            while f"{p}.conv{c}.weight" in sd:  # 2 convs = BasicBlock, 3 = Bottleneck
                 tb.conv(f"{d}/conv{c}", sd[f"{p}.conv{c}.weight"])
                 tb.bn(f"{d}/bn{c}", sd, f"{p}.bn{c}")
+                c += 1
             if f"{p}.downsample.0.weight" in sd:
                 tb.conv(f"{d}/downsample_conv", sd[f"{p}.downsample.0.weight"])
                 tb.bn(f"{d}/downsample_bn", sd, f"{p}.downsample.1")
@@ -263,6 +265,46 @@ def convert_torchvision_resnet(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     params = tb.params.get("", tb.params)
     stats = tb.batch_stats.get("", tb.batch_stats)
     return {"params": params, "batch_stats": stats}
+
+
+def convert_unitrack_checkpoint(raw: Dict[str, np.ndarray],
+                                model_type: str) -> Dict[str, Any]:
+    """Checkpoint surgery for the UniTrack appearance zoo (reference:
+    models/unitrack/model/model.py:40-147): per-entry key renames onto a
+    plain torchvision-style resnet state_dict, then the standard conversion.
+    Keys that do not map (projection heads etc.) are dropped — the
+    reference's partial_load semantics.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in raw.items():
+        nk = None
+        if model_type == "crw":
+            k2 = k
+            if "conv1.1.weight" in k2 or "conv2.1.weight" in k2:
+                k2 = k2.replace(".1.weight", ".weight")
+            nk = k2.replace("encoder.model.", "") if "encoder.model" in k2 else k2
+            if "head" in nk:
+                nk = None
+        elif model_type == "uvc":
+            if "gray_encoder" in k:
+                nk = k.replace("module.gray_encoder.", "")
+        elif model_type == "timecycle":
+            if "encoderVideo" in k:
+                nk = k.replace("module.encoderVideo.", "")
+                v = np.asarray(v)
+                if v.ndim == 5:  # inflated 3-D conv -> squeeze the T tap
+                    v = v.squeeze(2)
+        elif model_type in ("mocov2", "moco-v1", "moco-v2"):
+            if "module.encoder_q" in k:
+                nk = k.replace("module.encoder_q.", "")
+        elif model_type in ("byol", "vince"):
+            if "feature_extractor" in k:
+                nk = k.replace("feature_extractor.module.model.", "")
+        else:  # ssl bundles / plain torchvision: keys already bare
+            nk = k
+        if nk is not None and not nk.startswith(("fc.", "head")):
+            sd[nk] = v
+    return convert_torchvision_resnet(sd)
 
 
 def _convert_torch_encoder_layer(tb: _TreeBuilder, sd, src: str, dst: str):

@@ -13,19 +13,32 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
+    """JSONL metrics stream + pluggable experiment-tracker hooks.
+
+    `add_hook(fn)` registers any callable `(row: dict, step: int|None)` —
+    the generalization of the reference's LoggerHook list (TextLoggerHook +
+    WandbLoggerHook). The wandb hook is pre-wired when requested and the
+    package is importable; anything else (tensorboard, mlflow, a socket)
+    plugs in the same way without new dependencies here.
+    """
+
     def __init__(self, work_dir: str, use_wandb: bool = False,
                  wandb_kwargs: Optional[Dict] = None):
         os.makedirs(work_dir, exist_ok=True)
         self.path = os.path.join(work_dir, "metrics.jsonl")
-        self._wandb = None
+        self._hooks = []
         if use_wandb:
             try:
                 import wandb
 
                 wandb.init(**(wandb_kwargs or {}))
-                self._wandb = wandb
+                self.add_hook(lambda row, step: wandb.log(row, step=step))
             except Exception:
-                self._wandb = None  # wandb not installed / offline: JSONL only
+                pass  # wandb not installed / offline: JSONL only
+
+    def add_hook(self, fn) -> None:
+        """fn(row: dict, step: Optional[int]) called after every log()."""
+        self._hooks.append(fn)
 
     def log(self, metrics: Dict, step: Optional[int] = None):
         row = {"time": time.time(), **({"step": step} if step is not None else {}),
@@ -33,5 +46,5 @@ class MetricsLogger:
                   if isinstance(v, (int, float)) or hasattr(v, "item")}}
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
-        if self._wandb is not None:
-            self._wandb.log(row, step=step)
+        for fn in self._hooks:
+            fn(row, step)

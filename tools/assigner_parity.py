@@ -45,7 +45,6 @@ def tiny_cfg(assigner: str):
 def build_batches(data_root: str, n_steps: int, batch: int, seed: int):
     """Fixed batch sequence shared by both runs (identical data order)."""
     from openpvsg_tpu.data.datasets import PVSGImageDataset
-    from openpvsg_tpu.data.masks import decode_palette_mask
 
     ds = PVSGImageDataset(os.path.join(data_root, "pvsg.json"), data_root,
                           "train")
@@ -66,13 +65,12 @@ def build_batches(data_root: str, n_steps: int, batch: int, seed: int):
             mean = np.asarray((123.675, 116.28, 103.53), np.float32)
             std = np.asarray((58.395, 57.12, 57.375), np.float32)
             images[i, 0] = (img - mean) / std
-            d = decode_palette_mask(item["pan_mask"], item.get("objects", []),
-                                    ds.class_index, ds.num_classes)
-            n = min(len(d["gt_labels"]), N)
-            gt_labels[i, :n] = d["gt_labels"][:n]
+            # dataset items carry decoded GT (gt_labels / gt_masks) directly
+            n = min(len(item["gt_labels"]), N)
+            gt_labels[i, :n] = item["gt_labels"][:n]
             gt_valid[i, :n] = True
             for j in range(n):
-                gt_masks[i, j, 0] = d["gt_masks"][j][::4, ::4][:hm, :wm]
+                gt_masks[i, j, 0] = item["gt_masks"][j][::4, ::4][:hm, :wm]
         batches.append({"images": images, "gt_labels": gt_labels,
                         "gt_masks": gt_masks, "gt_valid": gt_valid})
     return ds, batches

@@ -18,6 +18,8 @@ def main():
     parser.add_argument("--split", default="train")
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--save-images", action="store_true",
+                        help="write qualititive/ tracking overlays")
     args = parser.parse_args()
     cfg = load_config(args)
 
@@ -77,7 +79,8 @@ def main():
                                          appearance_variables=app_vars)
         save_root = os.path.join(save_dir, vid)
         n = run_query_tube_ips(seg, tracker, frames, save_root,
-                               batch_size=args.batch_size)
+                               batch_size=args.batch_size,
+                               save_images=args.save_images)
         logger.info(f"{vid}: {len(frames)} frames -> {n} tubes")
 
 

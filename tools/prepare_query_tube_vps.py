@@ -16,6 +16,8 @@ def main():
     parser = base_parser("VPS query-tube extraction")
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--split", default="train")
+    parser.add_argument("--save-images", action="store_true",
+                        help="write qualititive/ tracking overlays")
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--window", type=int, default=None)
     args = parser.parse_args()
@@ -61,7 +63,8 @@ def main():
             logger.warning(f"{vid}: no frames, skipping")
             continue
         save_root = os.path.join(save_dir, vid)
-        n = run_query_tube_vps(seg, frames, save_root, window=window)
+        n = run_query_tube_vps(seg, frames, save_root, window=window,
+                               save_images=args.save_images)
         logger.info(f"{vid}: {len(frames)} frames -> {n} tubes")
 
 

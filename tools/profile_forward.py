@@ -1,0 +1,127 @@
+"""Profile the flagship VPS forward on device and print the op-time
+breakdown (the PERF.md table generator).
+
+Runs N chained iterations under jax.profiler (works through the axon
+tunnel), parses the trace.json.gz, and aggregates device-stream op durations
+by fusion category and by op name.
+
+Usage: python tools/profile_forward.py [--iters 12] [--out trace_dir]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("OPENPVSG_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["OPENPVSG_PLATFORM"])
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    if "convolution" in n or n.startswith("conv"):
+        return "convolution"
+    if "convert" in n:
+        return "convert"
+    if n.startswith("copy") or "copy" in n or "transpose" in n:
+        return "copy/relayout"
+    if "dot" in n or "matmul" in n or "einsum" in n:
+        return "dot"
+    if "reduce_window" in n:
+        return "reduce_window"
+    if "reduce" in n:
+        return "reduce"
+    if "fusion" in n:
+        return "fusion"
+    if "dynamic" in n or "gather" in n or "scatter" in n:
+        return "gather/scatter"
+    return "other"
+
+
+def parse_trace(log_dir: str, iters: int):
+    paths = glob.glob(os.path.join(
+        log_dir, "plugins", "profile", "*", "*.trace.json.gz"))
+    if not paths:
+        raise SystemExit(f"no trace under {log_dir}")
+    with gzip.open(sorted(paths)[-1], "rt") as f:
+        trace = json.load(f)
+    events = [e for e in trace.get("traceEvents", [])
+              if e.get("ph") == "X" and "dur" in e]
+    # keep device-stream events only: pid names containing TPU/device core
+    pid_names = {e["pid"]: e.get("args", {}).get("name", "")
+                 for e in trace["traceEvents"] if e.get("ph") == "M"
+                 and e.get("name") == "process_name"}
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "Device" in n or "/device" in n.lower()}
+    cat_us = collections.Counter()
+    cat_n = collections.Counter()
+    op_us = collections.Counter()
+    for e in events:
+        if dev_pids and e["pid"] not in dev_pids:
+            continue
+        c = classify(e.get("name", ""))
+        cat_us[c] += e["dur"]
+        cat_n[c] += 1
+        op_us[e.get("name", "?")[:70]] += e["dur"]
+    return cat_us, cat_n, op_us
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=12)
+    p.add_argument("--out", default="/tmp/pvsg_trace")
+    p.add_argument("--top", type=int, default=20)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.config import mask2former_vps
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    T, H, W = (4, 384, 480) if on_tpu else (2, 96, 128)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    cfg = mask2former_vps().model
+    model = Mask2Former(cfg, dtype=dtype)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, T, H, W, 3)) * 0.5, jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def chain(v, x, iters):
+        def body(i, c):
+            out = model.apply(v, x + c * 1e-12)
+            return out["mask_preds"][-1].mean().astype(jnp.float32)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(chain(v, x, 2))  # compile
+    jax.profiler.start_trace(args.out)
+    float(chain(v, x, args.iters))
+    jax.profiler.stop_trace()
+
+    cat_us, cat_n, op_us = parse_trace(args.out, args.iters)
+    total = sum(cat_us.values())
+    print(f"\n== device op time by category ({args.iters} iters, "
+          f"{total / args.iters:.0f} us/iter total) ==")
+    for c, us in cat_us.most_common():
+        print(f"{c:<18} {us / args.iters:8.0f} us/iter  "
+              f"({cat_n[c] / args.iters:6.1f} ops/iter)")
+    print(f"\n== top {args.top} ops ==")
+    for name, us in op_us.most_common(args.top):
+        print(f"{us / args.iters:8.0f} us/iter  {name}")
+
+
+if __name__ == "__main__":
+    main()

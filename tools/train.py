@@ -47,7 +47,24 @@ def main():
                         help="resume from the latest epoch_N in the work dir")
     parser.add_argument("--max-instances", type=int, default=40)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--diff-seed", action="store_true",
+                        help="offset the data seed by the process index "
+                             "(reference: tools/train.py --diff_seed)")
+    parser.add_argument("--deterministic", action="store_true",
+                        help="bit-deterministic XLA reductions (JAX compiles "
+                             "deterministically by default; this additionally "
+                             "disables autotuning-dependent rewrites)")
+    parser.add_argument("--auto-scale-lr", action="store_true",
+                        help="linearly scale lr by global_batch/16 "
+                             "(reference: mmdet auto_scale_lr, "
+                             "base_batch_size=16)")
+    parser.add_argument("--wandb", action="store_true",
+                        help="mirror metrics to wandb when available "
+                             "(reference: WandbLoggerHook)")
     args = parser.parse_args()
+    if args.deterministic:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_gpu_deterministic_ops=true").strip()
     cfg = load_config(args)
 
     import jax
@@ -60,10 +77,13 @@ def main():
     from openpvsg_tpu.train.checkpoint import save_checkpoint, load_checkpoint
     from openpvsg_tpu.train.segmenter import SegmenterTrainer
 
+    import jax as _jax
+
     work_dir = os.path.join(cfg.data.work_dir, cfg.name)
     logger = setup_logging(work_dir, "train")
-    rng = np.random.default_rng(cfg.train.seed)
-    random.seed(cfg.train.seed)
+    seed = cfg.train.seed + (_jax.process_index() if args.diff_seed else 0)
+    rng = np.random.default_rng(seed)
+    random.seed(seed)
 
     video = cfg.model.video
     T = cfg.model.num_frames if video else 1
@@ -83,6 +103,11 @@ def main():
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
     steps_per_epoch = max(len(dataset) // batch, 1)
     epochs = args.epochs or cfg.train.epochs
+    if args.auto_scale_lr:
+        from openpvsg_tpu.config import apply_overrides as _ov
+        scaled = cfg.train.lr * batch / 16.0
+        cfg = _ov(cfg, {"train.lr": scaled})
+        logger.info(f"auto-scale-lr: lr -> {scaled:g} (batch {batch} / 16)")
 
     trainer = SegmenterTrainer(cfg.model, cfg.train, mesh=mesh,
                                steps_per_epoch=steps_per_epoch,
@@ -139,6 +164,9 @@ def main():
         s = make_sample(int(i))
         return s if (s is not None and len(s["gt_labels"])) else None
 
+    from openpvsg_tpu.utils.logging import MetricsLogger
+    metrics_logger = MetricsLogger(work_dir, use_wandb=args.wandb)
+
     step = int(trainer.state.step)
     for epoch in range(epochs):
         loader = PrefetchLoader(
@@ -153,6 +181,12 @@ def main():
                 msg = " ".join(f"{k}={float(v):.4f}" for k, v in logs.items()
                                if not k.startswith("loss_") or "." not in k)
                 logger.info(f"epoch {epoch} step {step}: {msg}")
+                metrics_logger.log({**logs, "epoch": epoch}, step=step)
+        if int(trainer.state.step) == 0:
+            raise SystemExit(
+                f"epoch {epoch} produced 0 batches: dataset ({len(dataset)} "
+                f"samples) smaller than the global batch ({batch})? "
+                "Lower train.samples_per_gpu.")
         if (epoch + 1) % cfg.train.checkpoint_interval == 0:
             ckpt = os.path.join(work_dir, f"epoch_{epoch + 1}")
             save_checkpoint(ckpt, trainer.state)
