@@ -95,6 +95,47 @@ def vpq_eval(
     return iou_per_class, tp_per_class, fn_per_class, fp_per_class
 
 
+def window_vpq(
+    pred_seq: Sequence[np.ndarray],
+    gt_seq: Sequence[np.ndarray],
+    num_classes: int,
+    num_thing_classes: int,
+    num_stuff_classes: int,
+    windows: Sequence[int] = (1, 2, 4, 8),
+    max_ins: int = 10000,
+    ign_id: int | None = None,
+) -> Dict[str, float]:
+    """Window-k VPQ over stitched tubes — the video-native quality measure
+    per-frame PQ misses (VPSNet's VPQ^k; the reference only ships the
+    per-frame kernel, datasets/datasets/utils.py:31-104).
+
+    pred_seq / gt_seq: per-frame (H, W) eval-format id maps for ONE video
+    with temporally consistent instance ids. For each window size k, every
+    length-k sliding window is evaluated as one 3-D tube: a segment whose
+    identity switches mid-window cannot match across the whole tube, so id
+    switches that per-frame PQ ignores are penalized. Returns
+    {"VPQ@k": pq, ...} plus "VPQ" (mean over k).
+    """
+    T = len(pred_seq)
+    assert len(gt_seq) == T
+    out: Dict[str, float] = {}
+    for k in windows:
+        if k > T:
+            continue
+        stats = []
+        for lo in range(0, T - k + 1):
+            pred_tube = np.stack(pred_seq[lo:lo + k])
+            gt_tube = np.stack(gt_seq[lo:lo + k])
+            stats.append(vpq_eval([pred_tube, gt_tube],
+                                  num_classes=num_classes, max_ins=max_ins,
+                                  ign_id=ign_id))
+        out[f"VPQ@{k}"] = pq_summary(
+            stats, num_thing_classes, num_stuff_classes)["PQ"]
+    ks = [v for key, v in out.items() if key.startswith("VPQ@")]
+    out["VPQ"] = float(np.mean(ks)) if ks else 0.0
+    return out
+
+
 def pq_summary(
     stats: Sequence[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
     num_thing_classes: int = 115,

@@ -24,12 +24,56 @@ from __future__ import annotations
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from openpvsg_tpu.config import PixelDecoderConfig
 from openpvsg_tpu.models.position_encoding import sine_pos_encoding
-from openpvsg_tpu.models.transformer_decoder import MultiheadAttention
 from openpvsg_tpu.ops.resize import resize_bilinear
+
+
+class AxisMHA(nn.Module):
+    """Multi-head attention contracting over ONE spatial axis of a
+    (B, H, W, C) tensor, expressed as einsums that keep the NHWC layout —
+    no transpose/flatten round trip. The round-1 implementation transposed
+    to (B*W, H, C) for column attention; the HLO dump showed those
+    transposes materializing ~900 MB of relayout copies per forward (the
+    single largest copy source, tools/dump_hlo.py). Param tree is identical
+    to MultiheadAttention (q_proj/k_proj/v_proj/out_proj), so converted
+    checkpoints load unchanged.
+    """
+    num_heads: int
+    dim: int
+    axis: int  # 2 = attend along W (row attention), 1 = along H (columns)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, qk: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        """qk: (B, H, W, C) query/key input (content + positional);
+        v: (B, H, W, C) value input (content only)."""
+        nh = self.num_heads
+        hd = self.dim // nh
+        B, H, W, C = qk.shape
+        qp = nn.Dense(self.dim, dtype=self.dtype, name="q_proj")(qk)
+        kp = nn.Dense(self.dim, dtype=self.dtype, name="k_proj")(qk)
+        vp = nn.Dense(self.dim, dtype=self.dtype, name="v_proj")(v)
+        qp = qp.reshape(B, H, W, nh, hd)
+        kp = kp.reshape(B, H, W, nh, hd)
+        vp = vp.reshape(B, H, W, nh, hd)
+        if self.axis == 2:  # along W: (B, H) are batch dims
+            logits = jnp.einsum("bhqnd,bhknd->bhnqk", qp, kp,
+                                preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits / jnp.sqrt(hd), axis=-1)
+            out = jnp.einsum("bhnqk,bhknd->bhqnd", attn.astype(self.dtype),
+                             vp)
+        else:  # along H: (B, W) are batch dims
+            logits = jnp.einsum("bqwnd,bkwnd->bwnqk", qp, kp,
+                                preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits / jnp.sqrt(hd), axis=-1)
+            out = jnp.einsum("bwnqk,bkwnd->bqwnd", attn.astype(self.dtype),
+                             vp)
+        out = out.reshape(B, H, W, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
 class AxialAttentionBlock(nn.Module):
@@ -42,27 +86,16 @@ class AxialAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C); pos: (1, H, W, C)."""
-        B, H, W, C = x.shape
         f32r = not self.fast_norm
-        row_attn = MultiheadAttention(self.num_heads, self.dim, self.dtype,
-                                      name="row_attn")
-        col_attn = MultiheadAttention(self.num_heads, self.dim, self.dtype,
-                                      name="col_attn")
-
-        # rows: (B*H, W, C)
-        q = (x + pos).reshape(B * H, W, C)
-        y = row_attn(q, q, x.reshape(B * H, W, C))
+        y = AxisMHA(self.num_heads, self.dim, axis=2, dtype=self.dtype,
+                    name="row_attn")(x + pos, x)
         x = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
-                         name="norm_row")(x + y.reshape(B, H, W, C))
+                         name="norm_row")(x + y)
 
-        # cols: (B*W, H, C)
-        xt = x.transpose(0, 2, 1, 3)
-        post = pos.transpose(0, 2, 1, 3)
-        q = (xt + post).reshape(B * W, H, C)
-        y = col_attn(q, q, xt.reshape(B * W, H, C))
-        x = x + y.reshape(B, W, H, C).transpose(0, 2, 1, 3)
+        y = AxisMHA(self.num_heads, self.dim, axis=1, dtype=self.dtype,
+                    name="col_attn")(x + pos, x)
         x = nn.LayerNorm(dtype=self.dtype, force_float32_reductions=f32r,
-                         name="norm_col")(x)
+                         name="norm_col")(x + y)
 
         y = nn.Dense(self.ffn_dim, dtype=self.dtype, name="ffn_fc1")(x)
         y = nn.relu(y)

@@ -124,3 +124,37 @@ def test_fusion_empty():
         jnp.zeros((4, 8, 8)), 3, 2)
     assert (np.asarray(out["pan_seg"]) == 5).all()
     assert not np.asarray(out["query_keep"]).any()
+
+
+def test_axis_mha_matches_transposed_mha(rng):
+    """The layout-preserving AxisMHA must equal the flatten/transpose MHA
+    formulation it replaced (same params, same math, no relayout)."""
+    import jax
+    import jax.numpy as jnp
+    from openpvsg_tpu.models.axial_encoder import AxisMHA
+    from openpvsg_tpu.models.transformer_decoder import MultiheadAttention
+
+    B, H, W, C, heads = 2, 5, 7, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    pos = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.float32)
+
+    axis_row = AxisMHA(heads, C, axis=2)
+    params = axis_row.init(jax.random.PRNGKey(0), x + pos, x)["params"]
+    got_row = axis_row.apply({"params": params}, x + pos, x)
+
+    mha = MultiheadAttention(heads, C)
+    q = (x + pos).reshape(B * H, W, C)
+    want_row = mha.apply({"params": params}, q, q,
+                         x.reshape(B * H, W, C)).reshape(B, H, W, C)
+    np.testing.assert_allclose(np.asarray(got_row), np.asarray(want_row),
+                               atol=1e-5)
+
+    axis_col = AxisMHA(heads, C, axis=1)
+    got_col = axis_col.apply({"params": params}, x + pos, x)
+    xt = x.transpose(0, 2, 1, 3)
+    qt = (x + pos).transpose(0, 2, 1, 3).reshape(B * W, H, C)
+    want_col = mha.apply({"params": params}, qt, qt,
+                         xt.reshape(B * W, H, C)) \
+        .reshape(B, W, H, C).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got_col), np.asarray(want_col),
+                               atol=1e-5)

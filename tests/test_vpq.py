@@ -80,3 +80,54 @@ def test_pq_summary_matches_reference_formula():
     assert out["PQ"] == pytest.approx(1.0 / 5)
     assert out["PQ_th"] == pytest.approx(1.0 / 3)
     assert out["PQ_st"] == pytest.approx(0.0)
+
+
+def test_window_vpq_oracle_perfect_tubes():
+    """GT fed back as prediction: VPQ@k == PQ for all k (VERDICT r1 #10).
+    2 classes, both present, so the all-class mean is exactly 1."""
+    from openpvsg_tpu.eval.vpq import window_vpq
+
+    T = 6
+    gt_seq = []
+    for t in range(T):
+        m = np.full((8, 8), seg(1, 0), np.int64)   # stuff-ish background
+        m[2:5, 2 + 0:5 + 0] = seg(0, 1)            # moving thing, stable id
+        gt_seq.append(m)
+    out = window_vpq(gt_seq, gt_seq, num_classes=2, num_thing_classes=1,
+                     num_stuff_classes=1, windows=(1, 2, 4), ign_id=2)
+    assert out["VPQ@1"] == pytest.approx(1.0)
+    assert out["VPQ@2"] == pytest.approx(1.0)
+    assert out["VPQ@4"] == pytest.approx(1.0)
+    assert out["VPQ"] == pytest.approx(1.0)
+
+
+def test_window_vpq_penalizes_id_switch():
+    """An instance-id switch mid-video is invisible to VPQ@1 but breaks the
+    cross-frame tube match for k > 1 — the metric's entire point."""
+    from openpvsg_tpu.eval.vpq import window_vpq
+
+    T = 4
+    gt_seq, pred_seq = [], []
+    for t in range(T):
+        g = np.full((8, 8), seg(1, 0), np.int64)
+        g[2:6, 2:6] = seg(0, 1)
+        p = g.copy()
+        if t >= 2:  # tracker id switch at frame 2
+            p[2:6, 2:6] = seg(0, 7)
+        gt_seq.append(g)
+        pred_seq.append(p)
+    out = window_vpq(pred_seq, gt_seq, num_classes=2, num_thing_classes=1,
+                     num_stuff_classes=1, windows=(1, 2), ign_id=2)
+    assert out["VPQ@1"] == pytest.approx(1.0)
+    # the window spanning the switch: thing tube is half id-1 half id-7 ->
+    # each piece has IoU 0.5 with the GT tube (not > 0.5) -> unmatched
+    assert out["VPQ@2"] < 1.0
+
+
+def test_window_vpq_skips_oversized_windows():
+    from openpvsg_tpu.eval.vpq import window_vpq
+
+    m = [np.full((4, 4), seg(0, 1), np.int64)] * 2
+    out = window_vpq(m, m, num_classes=1, num_thing_classes=1,
+                     num_stuff_classes=0, windows=(1, 8), ign_id=1)
+    assert "VPQ@8" not in out and out["VPQ@1"] == pytest.approx(1.0)

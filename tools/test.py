@@ -39,6 +39,11 @@ def main():
 
     dataset = PVSGImageDataset(cfg.data.anno_file, cfg.data.data_dir, args.split)
     logger.info(f"eval split {args.split}: {len(dataset)} frames")
+    if cfg.model.num_classes != dataset.num_classes:
+        raise SystemExit(
+            f"model has {cfg.model.num_classes} classes but the annotation "
+            f"file defines {dataset.num_classes}; set "
+            "model.num_things_classes / model.num_stuff_classes to match")
 
     model = Mask2Former(cfg.model)
     sample = dataset[0]["img"]
@@ -61,6 +66,53 @@ def main():
                     f"{mesh.devices.size} devices")
     seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype,
                              mesh=mesh)
+
+    if "VPQ" in args.eval:
+        # window-k VPQ over stitched tubes: windowed MinVIS inference with
+        # segment-id identity across windows (the concat_seq rule), scored
+        # by eval/vpq.window_vpq per video and averaged.
+        from openpvsg_tpu.data.masks import decode_palette_mask, pan_mm2hb
+        from openpvsg_tpu.data.pipeline import load_frame, load_mask
+        from openpvsg_tpu.data.pvsg import PVSGAnnotation, frame_paths
+        from openpvsg_tpu.eval.vpq import window_vpq
+
+        anno = PVSGAnnotation(cfg.data.anno_file)
+        window = cfg.data.ref_seq_len_test
+        totals = {}
+        n_vids = 0
+        for vid in anno.video_ids(args.split):
+            frames = frame_paths(cfg.data.data_dir, vid, "frames")
+            masks = frame_paths(cfg.data.data_dir, vid, "masks")
+            if not frames or len(frames) != len(masks):
+                continue
+            objects = anno[vid]["objects"]
+            gt_seq = [decode_palette_mask(
+                load_mask(p), objects, dataset.class_index,
+                dataset.num_classes)["gt_panoptic_seg"] for p in masks]
+            pred_seq = []
+            for lo in range(0, len(frames), window):
+                raw = np.stack([load_frame(p)
+                                for p in frames[lo:lo + window]])
+                outs = seg.infer_window_vps(raw)
+                pred_seq.extend(pan_mm2hb(o["pan_results"],
+                                          dataset.num_classes) for o in outs)
+            m = window_vpq(pred_seq, gt_seq, dataset.num_classes,
+                           len(dataset.anno.thing_classes),
+                           len(dataset.anno.stuff_classes),
+                           ign_id=dataset.num_classes)
+            n_vids += 1
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + v
+            logger.info(f"{vid}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in sorted(m.items())))
+        if n_vids:
+            summary = {k: v / n_vids for k, v in sorted(totals.items())}
+            logger.info("mean over videos: " + " ".join(
+                f"{k}={v:.4f}" for k, v in summary.items()))
+            print(summary)
+        if args.eval == "VPQ":
+            return
+
     results = []
     bs = args.batch_size
     for lo in range(0, len(dataset), bs):
