@@ -169,3 +169,48 @@ def test_cosine_schedule():
     assert float(sched(0)) == pytest.approx(1e-7)
     assert float(sched(50)) == pytest.approx(1e-3)
     assert float(sched(999)) < 1e-4
+
+
+# ---------------------------------------------------------------- HOTA
+def _square_mask(x0, size=4, hw=(16, 16)):
+    m = np.zeros(hw, np.uint8)
+    m[4:4 + size, x0:x0 + size] = 1
+    return m
+
+
+def test_hota_perfect_tracking():
+    from openpvsg_tpu.eval.mot_metrics import evaluate_hota
+
+    frames = [{1: _square_mask(2 + t), 2: _square_mask(10)} for t in range(6)]
+    out = evaluate_hota(frames, frames)
+    assert out["HOTA"] == pytest.approx(1.0)
+    assert out["DetA"] == pytest.approx(1.0)
+    assert out["AssA"] == pytest.approx(1.0)
+    assert out["LocA"] == pytest.approx(1.0)
+
+
+def test_hota_id_switch_halves_assa():
+    """One GT track, pred switches id at T/2: DetA stays 1, each pred
+    fragment has association 0.5 -> AssA = 0.5, HOTA = sqrt(0.5)
+    (hand-computed from the TrackEval definition)."""
+    from openpvsg_tpu.eval.mot_metrics import evaluate_hota
+
+    T = 8
+    gt = [{1: _square_mask(4)} for _ in range(T)]
+    pred = [{(10 if t < T // 2 else 20): _square_mask(4)} for t in range(T)]
+    out = evaluate_hota(gt, pred)
+    assert out["DetA"] == pytest.approx(1.0)
+    assert out["AssA"] == pytest.approx(0.5)
+    assert out["HOTA"] == pytest.approx(np.sqrt(0.5))
+
+
+def test_hota_missed_detections_hit_deta():
+    from openpvsg_tpu.eval.mot_metrics import evaluate_hota
+
+    T = 4
+    gt = [{1: _square_mask(4)} for _ in range(T)]
+    pred = [{1: _square_mask(4)} if t % 2 == 0 else {} for t in range(T)]
+    out = evaluate_hota(gt, pred)
+    # half the dets missed: DetA = tp/(tp+fn+fp) = 2/(2+2+0) = 0.5
+    assert out["DetA"] == pytest.approx(0.5)
+    assert out["HOTA"] < 1.0
