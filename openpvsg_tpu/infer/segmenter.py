@@ -28,16 +28,27 @@ from openpvsg_tpu.models.mask2former import Mask2Former
 from openpvsg_tpu import native
 
 
-def minvis_stitch(embds: np.ndarray) -> np.ndarray:
+def minvis_stitch(embds: np.ndarray,
+                  prev: Optional[np.ndarray] = None) -> np.ndarray:
     """Frame-to-frame query alignment (reference: match_from_embds,
     mask2former_min_vis.py:244-258). embds: (T, Q, C) decoder query
     embeddings. Returns perms (T, Q): perms[t] maps aligned slot -> raw
-    query index at frame t (perms[0] = identity)."""
+    query index at frame t.
+
+    With prev=None, perms[0] = identity (the reference resets alignment at
+    every window — concat_seq then relies on raw id equality across
+    windows). Passing the previous window's last aligned embeddings as
+    `prev` chains the alignment across windows, so query slots stay
+    consistent for the whole video (the rebuild's improvement; enable via
+    run_query_tube_vps(chain_windows=True))."""
     T, Q, _ = embds.shape
     perms = np.zeros((T, Q), dtype=np.int32)
-    perms[0] = np.arange(Q)
-    prev = embds[0]
-    for t in range(1, T):
+    start = 0
+    if prev is None:
+        perms[0] = np.arange(Q)
+        prev = embds[0]
+        start = 1
+    for t in range(start, T):
         cur = embds[t]
         a = prev / np.maximum(np.linalg.norm(prev, axis=1, keepdims=True), 1e-12)
         b = cur / np.maximum(np.linalg.norm(cur, axis=1, keepdims=True), 1e-12)
@@ -152,14 +163,20 @@ class SegmenterInference:
         return self._package(fusion, query)
 
     def infer_window_vps(self, frames: np.ndarray,
-                         ori_hw: Optional[Tuple[int, int]] = None):
+                         ori_hw: Optional[Tuple[int, int]] = None,
+                         prev_embds: Optional[np.ndarray] = None,
+                         return_embds: bool = False):
         """VPS MinVIS path: per-frame forward + query stitching + clip-mean
         logits + per-frame fusion (reference: mask2former_min_vis.py:132-224).
+
+        prev_embds (Q, C): chain alignment from the previous window (see
+        minvis_stitch). return_embds=True additionally returns the last
+        frame's ALIGNED query embeddings for chaining.
         """
         ori_hw = ori_hw or tuple(frames.shape[1:3])
         cls_logits, mask_logits, query = self.forward_frames(frames)
         embds = np.asarray(query)
-        perms = minvis_stitch(embds)
+        perms = minvis_stitch(embds, prev=prev_embds)
         idx = jnp.asarray(perms)
         cls_aligned = jnp.take_along_axis(cls_logits, idx[:, :, None], axis=1)
         masks_aligned = jnp.take_along_axis(
@@ -170,7 +187,10 @@ class SegmenterInference:
         masks_up = self.upsample_masks(masks_aligned, self._padded_hw(frames))
         masks_up = masks_up[:, :, :ori_hw[0], :ori_hw[1]]
         fusion = self._fuse(cls_mean, masks_up)
-        return self._package(fusion, query_aligned)
+        outputs = self._package(fusion, query_aligned)
+        if return_embds:
+            return outputs, np.asarray(query_aligned[-1])
+        return outputs
 
     def _package(self, fusion, query) -> List[Dict]:
         """Device fusion outputs -> host per-frame dicts."""

@@ -141,19 +141,30 @@ def run_query_tube_vps(
     save_root: str,
     window: int = 2,
     save_images: bool = False,
+    chain_windows: bool = False,
 ) -> int:
     """VPS stage 2 for one video: tube identity from panoptic segment ids
-    (reference: concat_seq — no tracker needed)."""
+    (reference: concat_seq — no tracker needed).
+
+    chain_windows=True carries the last frame's aligned query embeddings
+    across windows, so alignment (and thus segment-id identity) is chained
+    for the whole video instead of resetting per window — strictly stronger
+    than the reference's raw-id-equality rule; off by default for parity."""
     total_frames = len(frame_files)
     results = []
     object_list: List[int] = []
     feat_tubes: Dict[int, Dict[int, Dict]] = {}
 
     frame_id = 0
+    prev_embds = None
     for lo in range(0, total_frames, window):
         paths = frame_files[lo:lo + window]
         raw = [load_frame(p) for p in paths]
-        outputs = segmenter.infer_window_vps(np.stack(raw))
+        if chain_windows:
+            outputs, prev_embds = segmenter.infer_window_vps(
+                np.stack(raw), prev_embds=prev_embds, return_embds=True)
+        else:
+            outputs = segmenter.infer_window_vps(np.stack(raw))
         for img, out in zip(raw, outputs):
             rles, tids, vis_masks = [], [], []
             for seg_id, feat in out["query_feats"].items():

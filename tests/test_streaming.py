@@ -67,3 +67,26 @@ def test_streaming_partial_tail(engine_parts):
         engine.push(f)
     final = engine.finish()  # pads + flushes the odd tail frame
     assert final["num_frames"] == 4
+
+
+def test_minvis_stitch_chains_across_windows(rng):
+    """With prev embeddings given, window alignment recovers a query
+    permutation at frame 0 instead of resetting to identity (VERDICT r1
+    weak #8 — cross-window tube identity)."""
+    from openpvsg_tpu.infer.segmenter import minvis_stitch
+
+    Q, C = 6, 16
+    prev = rng.standard_normal((Q, C)).astype(np.float32)
+    perm = rng.permutation(Q)
+    w2 = np.stack([prev[perm] + 0.01 * rng.standard_normal((Q, C)),
+                   prev[perm] + 0.01 * rng.standard_normal((Q, C))])
+
+    perms_reset = minvis_stitch(w2)                 # reference behavior
+    np.testing.assert_array_equal(perms_reset[0], np.arange(Q))
+
+    perms_chained = minvis_stitch(w2, prev=prev)
+    # raw query i at frame 0 equals prev[perm[i]], so the raw query that
+    # continues prev slot s is the inverse permutation at s
+    inv = np.argsort(perm)
+    np.testing.assert_array_equal(perms_chained[0], inv)
+    np.testing.assert_array_equal(perms_chained[1], inv)

@@ -18,6 +18,9 @@ def main():
     parser.add_argument("--split", default="train")
     parser.add_argument("--save-images", action="store_true",
                         help="write qualititive/ tracking overlays")
+    parser.add_argument("--chain-windows", action="store_true",
+                        help="chain MinVIS alignment across windows "
+                             "(stronger than the reference's raw-id rule)")
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--window", type=int, default=None)
     args = parser.parse_args()
@@ -64,7 +67,8 @@ def main():
             continue
         save_root = os.path.join(save_dir, vid)
         n = run_query_tube_vps(seg, frames, save_root, window=window,
-                               save_images=args.save_images)
+                               save_images=args.save_images,
+                               chain_windows=args.chain_windows)
         logger.info(f"{vid}: {len(frames)} frames -> {n} tubes")
 
 
