@@ -77,7 +77,22 @@ class SegmenterInference:
     STD = (58.395, 57.12, 57.375)
 
     def __init__(self, cfg: Mask2FormerConfig, variables,
-                 dtype=jnp.float32, mesh=None, pad_divisor: int = 32):
+                 dtype=jnp.float32, mesh=None, pad_divisor: int = 32,
+                 fold_bn: bool = True):
+        # Serving-graph optimization: fold inference-mode BN affines into
+        # the backbone convs (models/resnet.py:fold_frozen_bn) — exact, and
+        # removes ~50 ops from the op-count-bound forward (PERF.md r2).
+        if (fold_bn and cfg.backbone.kind == "resnet"
+                and cfg.backbone.norm in ("frozen_bn", "sync_bn")
+                and "batch_stats" in variables):
+            import dataclasses
+
+            from openpvsg_tpu.models.resnet import fold_frozen_bn
+
+            variables = fold_frozen_bn(variables)
+            cfg = dataclasses.replace(
+                cfg, backbone=dataclasses.replace(cfg.backbone,
+                                                  norm="folded"))
         self.cfg = cfg
         self.model = Mask2Former(cfg, dtype=dtype)
         self.mesh = mesh

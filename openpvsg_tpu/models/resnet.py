@@ -24,12 +24,14 @@ BASIC_DEPTHS = (18, 34)
 
 
 class Norm(nn.Module):
-    """Normalization dispatcher: frozen_bn | sync_bn | gn.
+    """Normalization dispatcher: frozen_bn | sync_bn | gn | folded.
 
     frozen_bn always uses running stats (reference IPS backbone:
     norm_eval=True + requires_grad=False). sync_bn computes batch stats and
     cross-replica averages them over `axis_name` when training (reference VPS
-    backbone: SyncBN).
+    backbone: SyncBN). 'folded' is the inference-serving mode: the BN affine
+    has been folded into the preceding conv by fold_frozen_bn(), so this is
+    the identity (and the conv carries a bias).
     """
     kind: str = "frozen_bn"
     train: bool = False
@@ -38,6 +40,8 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.kind == "folded":
+            return x
         if self.kind == "gn":
             return nn.GroupNorm(num_groups=32, dtype=self.dtype, name="gn")(x)
         use_running = (self.kind == "frozen_bn") or (not self.train)
@@ -63,20 +67,20 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=self.norm == "folded", dtype=self.dtype, name="conv1")(x)
         out = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
+                      padding=((1, 1), (1, 1)), use_bias=self.norm == "folded", dtype=self.dtype,
                       name="conv2")(out)
         out = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn2")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=self.norm == "folded", dtype=self.dtype, name="conv3")(out)
         out = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn3")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
+                               use_bias=self.norm == "folded", dtype=self.dtype, name="downsample_conv")(x)
             identity = Norm(self.norm, self.train, self.axis_name, self.dtype,
                             name="downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -98,19 +102,19 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         identity = x
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)), use_bias=False,
+                      padding=((1, 1), (1, 1)), use_bias=self.norm == "folded",
                       dtype=self.dtype, name="conv1")(x)
         out = Norm(self.norm, self.train, self.axis_name, self.dtype,
                    name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, dtype=self.dtype, name="conv2")(out)
+                      use_bias=self.norm == "folded", dtype=self.dtype, name="conv2")(out)
         out = Norm(self.norm, self.train, self.axis_name, self.dtype,
                    name="bn2")(out)
         if self.downsample:
             identity = nn.Conv(self.planes, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
+                               use_bias=self.norm == "folded", dtype=self.dtype,
                                name="downsample_conv")(x)
             identity = Norm(self.norm, self.train, self.axis_name, self.dtype,
                             name="downsample_bn")(identity)
@@ -136,7 +140,7 @@ class ResNet(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
         blocks = STAGE_BLOCKS[self.depth][: self.num_stages]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    use_bias=self.norm == "folded", dtype=self.dtype, name="conv1")(x)
         x = Norm(self.norm, self.train, self.axis_name, self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -164,3 +168,61 @@ class ResNet(nn.Module):
                 outs.append(x)
             planes *= 2
         return outs
+
+
+def _bn_key_for(conv_key: str) -> str | None:
+    if conv_key == "downsample_conv":
+        return "downsample_bn"
+    if conv_key.startswith("conv"):
+        return "bn" + conv_key[len("conv"):]
+    return None
+
+
+def fold_frozen_bn(variables, eps: float = 1e-5):
+    """Fold inference-mode BatchNorm affines into the preceding convs.
+
+    Serving-graph optimization: y = BN(conv(x)) with running stats is
+    conv(x)*s + b with s = gamma/sqrt(var+eps), b = beta - mean*s, which is
+    exactly a conv with kernel*s and bias b. Removes every BN op (and its
+    rsqrt/convert chain) from the backbone HLO — this model is op-count
+    bound on TPU (PERF.md), so fewer ops is the win. Returns new variables
+    for the same model built with backbone norm='folded'
+    (config: replace(cfg.backbone, norm='folded')); batch_stats are
+    consumed. Exact in f32 (up to one float reassociation per channel).
+
+    The reference has no analogue (torch runs eval-mode BN as a separate
+    cudnn op; mmcv's fuse_conv_bn tool exists but is never invoked —
+    reference tools/ has no call site).
+    """
+    import jax
+    import numpy as np
+
+    params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+    stats = jax.tree_util.tree_map(np.asarray,
+                                   dict(variables.get("batch_stats", {})))
+
+    def fold(p, s):
+        out = {}
+        consumed = set()
+        for k, v in p.items():
+            bnk = _bn_key_for(k) if isinstance(v, dict) else None
+            if (bnk is not None and "kernel" in v and bnk in p
+                    and isinstance(s, dict) and bnk in s):
+                bn, st = p[bnk]["bn"], s[bnk]["bn"]
+                scale = bn["scale"] / np.sqrt(st["var"] + eps)
+                out[k] = {"kernel": v["kernel"] * scale,
+                          "bias": bn["bias"] - st["mean"] * scale}
+                consumed.add(bnk)
+            elif isinstance(v, dict):
+                out[k] = fold(v, s.get(k, {}) if isinstance(s, dict) else {})
+            else:
+                out[k] = v
+        for k in consumed:
+            out.pop(k, None)
+        return out
+
+    new_params = fold(params, stats)
+    new_vars = {k: v for k, v in variables.items()
+                if k not in ("params", "batch_stats")}
+    new_vars["params"] = new_params
+    return new_vars

@@ -228,14 +228,17 @@ class RelationTrainer:
                                          cfg.loss_prob_weight)
         # one fused device call per accumulate/apply instead of one dispatch
         # per gradient leaf (dispatch latency dominates on remote devices)
-        self._accum_fn = jax.jit(lambda a, g: jax.tree.map(jnp.add, a, g))
+        # donate the running accumulator / params+opt_state so the update
+        # happens in place (no fresh HBM buffers per accumulate/apply)
+        self._accum_fn = jax.jit(lambda a, g: jax.tree.map(jnp.add, a, g),
+                                 donate_argnums=(0,))
 
         def _apply(params, opt_state, accum, count):
             grads = jax.tree.map(lambda g: g / count, accum)
             updates, new_opt = self.tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt
 
-        self._apply_fn = jax.jit(_apply)
+        self._apply_fn = jax.jit(_apply, donate_argnums=(0, 1))
         self._accum = None
         self._accum_count = 0
 

@@ -209,7 +209,9 @@ class SegmenterTrainer:
             logs["loss"] = loss
             return loss, (logs, new_vars.get("batch_stats", batch_stats))
 
-        @jax.jit
+        # donate the TrainState: params/opt_state update in place instead of
+        # allocating fresh buffers every step (HBM footprint + copy traffic)
+        @partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, batch, rng):
             (loss, (logs, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.batch_stats,

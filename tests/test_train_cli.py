@@ -12,7 +12,11 @@ import pytest
 from PIL import Image
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-H, W, T = 64, 64, 5
+# 9 frames: the global batch on the virtual 8-device mesh is
+# max(samples_per_gpu//4, 8) = 8; the IPS dataset yields one sample per
+# frame and the VPS dataset one 2-frame clip per start frame (T-1 = 8) —
+# fewer samples than devices would mean zero batches per epoch.
+H, W, T = 64, 64, 9
 VID = "1000_tr0"
 
 

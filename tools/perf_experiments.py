@@ -110,6 +110,32 @@ def main():
         report["fast_norm_fps"] = round(T / (ms / 1000), 1)
         print("fast_norm:", report["fast_norm_ms"], "ms", flush=True)
 
+    if "fold_bn" in want:
+        import dataclasses
+
+        from openpvsg_tpu.models.resnet import fold_frozen_bn
+
+        v_fold = fold_frozen_bn(v_f32)
+        cfg_fold = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(cfg.backbone, norm="folded"))
+        fold_model = Mask2Former(cfg_fold, dtype=dtype)
+        ms = measure(fold_model, v_fold, x, on_tpu)
+        report["fold_bn_ms"] = round(ms, 3)
+        report["fold_bn_fps"] = round(T / (ms / 1000), 1)
+        print("fold_bn:", report["fold_bn_ms"], "ms", flush=True)
+
+    if "t8" in want:
+        # double window: per-frame cost should FALL if the model is
+        # op-count-bound (fixed per-op cost amortized over 2x frames),
+        # RISE if bandwidth-bound (the (Q,T,h,w) mask tensors double)
+        T8 = T * 2
+        x8 = jnp.asarray(
+            rng.standard_normal((1, T8, H, W, 3)) * 0.5, jnp.float32)
+        ms = measure(base_model, v_f32, x8, on_tpu)
+        report["t8_ms"] = round(ms, 3)
+        report["t8_fps"] = round(T8 / (ms / 1000), 1)
+        print("t8:", report["t8_ms"], "ms", flush=True)
+
     if "fast_norm_bf16p" in want:
         fn_model = Mask2Former(cfg, dtype=dtype, fast_norm=True)
         ms = measure(fn_model, v_cast, x, on_tpu)

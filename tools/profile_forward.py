@@ -81,6 +81,9 @@ def main():
     p.add_argument("--iters", type=int, default=12)
     p.add_argument("--out", default="/tmp/pvsg_trace")
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--train", action="store_true",
+                   help="profile the PERF.md training step (B=4 two-frame "
+                        "clips, bf16, dense losses) instead of inference")
     args = p.parse_args()
 
     import jax
@@ -94,22 +97,56 @@ def main():
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     cfg = mask2former_vps().model
-    model = Mask2Former(cfg, dtype=dtype)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((1, T, H, W, 3)) * 0.5, jnp.float32)
-    v = model.init(jax.random.PRNGKey(0), x)
 
-    @jax.jit
-    def chain(v, x, iters):
-        def body(i, c):
-            out = model.apply(v, x + c * 1e-12)
-            return out["mask_preds"][-1].mean().astype(jnp.float32)
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    if args.train:
+        import dataclasses
 
-    float(chain(v, x, 2))  # compile
-    jax.profiler.start_trace(args.out)
-    float(chain(v, x, args.iters))
-    jax.profiler.stop_trace()
+        from openpvsg_tpu.config import TrainConfig
+        from openpvsg_tpu.train.segmenter import SegmenterTrainer
+
+        B, T = (4, 2) if on_tpu else (2, 2)
+        cfg = dataclasses.replace(
+            cfg, backbone=dataclasses.replace(
+                cfg.backbone,
+                dtype="bfloat16" if on_tpu else "float32"))
+        trainer = SegmenterTrainer(cfg, TrainConfig(),
+                                   example_shape=(T, H, W))
+        N = 8
+        batch = {
+            "images": jnp.asarray(
+                rng.standard_normal((B, T, H, W, 3)) * 0.5, jnp.float32),
+            "gt_labels": jnp.asarray(
+                rng.integers(0, cfg.num_classes, (B, N)), jnp.int32),
+            "gt_masks": jnp.asarray(
+                rng.random((B, N, T, H // 4, W // 4)) < 0.2, jnp.uint8),
+            "gt_valid": jnp.ones((B, N), bool),
+        }
+        key = jax.random.PRNGKey(0)
+        trainer.step(batch, key)  # compile + warmup
+        jax.profiler.start_trace(args.out)
+        for _ in range(args.iters):
+            trainer.step(batch, key)
+        # force completion: pull a scalar
+        float(jax.tree_util.tree_leaves(trainer.state.params)[0].ravel()[0])
+        jax.profiler.stop_trace()
+    else:
+        model = Mask2Former(cfg, dtype=dtype)
+        x = jnp.asarray(
+            rng.standard_normal((1, T, H, W, 3)) * 0.5, jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def chain(v, x, iters):
+            def body(i, c):
+                out = model.apply(v, x + c * 1e-12)
+                return out["mask_preds"][-1].mean().astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        float(chain(v, x, 2))  # compile
+        jax.profiler.start_trace(args.out)
+        float(chain(v, x, args.iters))
+        jax.profiler.stop_trace()
 
     cat_us, cat_n, op_us = parse_trace(args.out, args.iters)
     total = sum(cat_us.values())
