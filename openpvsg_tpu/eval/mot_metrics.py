@@ -187,3 +187,105 @@ def evaluate_hota(gt_frames: Sequence[FrameMasks],
     hota = np.sqrt(det_a * ass_a)
     return {"HOTA": float(hota.mean()), "DetA": float(det_a.mean()),
             "AssA": float(ass_a.mean()), "LocA": float(loca.mean())}
+
+
+def _mask_boundary(mask: np.ndarray) -> np.ndarray:
+    """Boundary pixels: mask minus its 8-connected erosion (the DAVIS
+    seg2bmap approximation used by TrackEval's JAndF, reference:
+    models/unitrack/eval/trackeval/metrics/j_and_f.py)."""
+    from scipy import ndimage
+
+    m = mask.astype(bool)
+    er = ndimage.binary_erosion(m, structure=np.ones((3, 3), bool),
+                                border_value=0)
+    return m & ~er
+
+
+def _boundary_f(gt_mask: np.ndarray, pred_mask: np.ndarray,
+                bound_th: float = 0.008) -> float:
+    """DAVIS boundary F-measure: precision/recall of boundary pixels within
+    a disk tolerance of bound_th * image diagonal."""
+    from scipy import ndimage
+
+    gb = _mask_boundary(gt_mask)
+    pb = _mask_boundary(pred_mask)
+    n_g, n_p = int(gb.sum()), int(pb.sum())
+    if n_g == 0 and n_p == 0:
+        return 1.0
+    if n_g == 0 or n_p == 0:
+        return 0.0
+    h, w = gt_mask.shape
+    r = max(1, int(np.ceil(bound_th * np.hypot(h, w))))
+    yy, xx = np.ogrid[-r:r + 1, -r:r + 1]
+    disk = (yy * yy + xx * xx) <= r * r
+    gd = ndimage.binary_dilation(gb, structure=disk)
+    pd = ndimage.binary_dilation(pb, structure=disk)
+    precision = float((pb & gd).sum()) / n_p
+    recall = float((gb & pd).sum()) / n_g
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def evaluate_jf(gt_frames: Sequence[FrameMasks],
+                pred_frames: Sequence[FrameMasks],
+                bound_th: float = 0.008) -> Dict[str, float]:
+    """DAVIS J&F over mask tubes (TrackEval JAndF semantics, reference:
+    models/unitrack/eval/trackeval/metrics/j_and_f.py — vendored, inert).
+
+    Tracking output has no fixed GT<->prediction id correspondence, so
+    prediction tracks are first globally assigned to GT tracks by maximising
+    summed per-frame mask IoU (one Hungarian over the whole video — the
+    IDF1 association convention). Then per GT track:
+      J = mean per-frame IoU over frames where the GT object exists
+          (unmatched frames count 0)
+      F = mean per-frame boundary F-measure over the same frames
+    Returns {"J": mean J, "F": mean F, "J&F": (J+F)/2} over GT tracks.
+    """
+    # global association on summed IoU
+    gid_index: Dict[int, int] = {}
+    pid_index: Dict[int, int] = {}
+    for gt, pred in zip(gt_frames, pred_frames):
+        for g in gt:
+            gid_index.setdefault(g, len(gid_index))
+        for p in pred:
+            pid_index.setdefault(p, len(pid_index))
+    n_gt, n_pr = len(gid_index), len(pid_index)
+    if n_gt == 0:
+        return {"J": 1.0 if n_pr == 0 else 0.0,
+                "F": 1.0 if n_pr == 0 else 0.0,
+                "J&F": 1.0 if n_pr == 0 else 0.0}
+    overlap = np.zeros((n_gt, n_pr))
+    for gt, pred in zip(gt_frames, pred_frames):
+        gids, pids, sim = _frame_similarity(gt, pred)
+        for i, g in enumerate(gids):
+            for j, p in enumerate(pids):
+                overlap[gid_index[g], pid_index[p]] += sim[i, j]
+    pred_of_gt: Dict[int, int] = {}
+    if n_pr:
+        ri, ci = native.linear_sum_assignment(-overlap)
+        inv_g = {v: k for k, v in gid_index.items()}
+        inv_p = {v: k for k, v in pid_index.items()}
+        for i, j in zip(ri, ci):
+            if overlap[i, j] > 0:
+                pred_of_gt[inv_g[i]] = inv_p[j]
+
+    j_sums: Dict[int, float] = {g: 0.0 for g in gid_index}
+    f_sums: Dict[int, float] = {g: 0.0 for g in gid_index}
+    counts: Dict[int, int] = {g: 0 for g in gid_index}
+    for gt, pred in zip(gt_frames, pred_frames):
+        for g, gmask in gt.items():
+            counts[g] += 1
+            p = pred_of_gt.get(g)
+            if p is None or p not in pred:
+                continue
+            pmask = pred[p].astype(bool)
+            gmask = gmask.astype(bool)
+            union = (gmask | pmask).sum()
+            if union:
+                j_sums[g] += float((gmask & pmask).sum()) / union
+            f_sums[g] += _boundary_f(gmask, pmask, bound_th)
+    js = [j_sums[g] / counts[g] for g in gid_index if counts[g]]
+    fs = [f_sums[g] / counts[g] for g in gid_index if counts[g]]
+    j, f = float(np.mean(js)), float(np.mean(fs))
+    return {"J": j, "F": f, "J&F": (j + f) / 2}

@@ -214,3 +214,45 @@ def test_hota_missed_detections_hit_deta():
     # half the dets missed: DetA = tp/(tp+fn+fp) = 2/(2+2+0) = 0.5
     assert out["DetA"] == pytest.approx(0.5)
     assert out["HOTA"] < 1.0
+
+
+def test_jf_perfect_tracking():
+    from openpvsg_tpu.eval.mot_metrics import evaluate_jf
+
+    frames = [{1: _square_mask(2 + t), 2: _square_mask(10)}
+              for t in range(4)]
+    out = evaluate_jf(frames, frames)
+    assert out["J"] == pytest.approx(1.0)
+    assert out["F"] == pytest.approx(1.0)
+    assert out["J&F"] == pytest.approx(1.0)
+
+
+def test_jf_id_relabel_invariant():
+    """J&F associates tracks globally, so a consistent pred relabel is
+    free (the DAVIS correspondence is recovered by the assignment)."""
+    from openpvsg_tpu.eval.mot_metrics import evaluate_jf
+
+    gt = [{1: _square_mask(2), 2: _square_mask(10)} for _ in range(3)]
+    pred = [{7: _square_mask(2), 9: _square_mask(10)} for _ in range(3)]
+    out = evaluate_jf(gt, pred)
+    assert out["J&F"] == pytest.approx(1.0)
+
+
+def test_jf_half_overlap_j():
+    """4x4 square shifted by 2 columns: IoU = 8/24 = 1/3 exactly."""
+    from openpvsg_tpu.eval.mot_metrics import evaluate_jf
+
+    gt = [{1: _square_mask(4)} for _ in range(2)]
+    pred = [{1: _square_mask(6)} for _ in range(2)]
+    out = evaluate_jf(gt, pred)
+    assert out["J"] == pytest.approx(1 / 3)
+    assert 0.0 < out["F"] <= 1.0
+
+
+def test_jf_missing_prediction_zero():
+    from openpvsg_tpu.eval.mot_metrics import evaluate_jf
+
+    gt = [{1: _square_mask(4)} for _ in range(2)]
+    out = evaluate_jf(gt, [{} for _ in range(2)])
+    assert out["J"] == pytest.approx(0.0)
+    assert out["F"] == pytest.approx(0.0)

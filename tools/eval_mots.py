@@ -31,7 +31,8 @@ def main():
     from openpvsg_tpu.data import io as data_io, rle as rle_codec
     from openpvsg_tpu.data.pipeline import load_mask
     from openpvsg_tpu.data.pvsg import PVSGAnnotation, frame_paths
-    from openpvsg_tpu.eval.mot_metrics import evaluate_hota, evaluate_mots
+    from openpvsg_tpu.eval.mot_metrics import (evaluate_hota, evaluate_jf,
+                                               evaluate_mots)
 
     work_dir = cfg.data.work_dir
     logger = setup_logging(work_dir, "eval_mots")
@@ -64,13 +65,14 @@ def main():
                 pred_frames[t][e["tid"]] = rle_codec.decode(e["rle"])
 
         m = {**evaluate_mots(gt_frames, pred_frames),
-             **evaluate_hota(gt_frames, pred_frames)}
+             **evaluate_hota(gt_frames, pred_frames),
+             **evaluate_jf(gt_frames, pred_frames)}
         n += 1
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v)
         logger.info(f"{vid}: " + " ".join(
             f"{k}={v:.4f}" for k, v in m.items()
-            if k in ("MOTA", "MOTP", "IDF1", "HOTA", "DetA", "AssA")))
+            if k in ("MOTA", "MOTP", "IDF1", "HOTA", "DetA", "AssA", "J&F")))
 
     if n:
         summary = {k: v / n for k, v in totals.items()}
