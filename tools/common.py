@@ -78,6 +78,20 @@ def maybe_mesh(min_devices: int = 2):
     return make_mesh(n_data=len(devices), devices=devices)
 
 
+def partition_videos(videos):
+    """Per-video work split across processes in a multi-host run
+    (reference: multi_gpu_test rank-strided dataset sharding,
+    tools/prepare_query_tube_ips.py:248-250 — result collection is
+    file-level: each process writes its own videos into the shared
+    work_dir). Identity on single-process runs."""
+    import jax
+
+    n = jax.process_count()
+    if n <= 1:
+        return list(videos)
+    return list(videos)[jax.process_index()::n]
+
+
 def load_config(args) -> PVSGConfig:
     init_distributed(args)
     cfg = get_config(args.config)

@@ -8,7 +8,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.common import (base_parser, load_config, maybe_mesh,
-                          setup_logging)
+                          partition_videos, setup_logging)
 
 
 def main():
@@ -39,6 +39,7 @@ def main():
 
     anno = PVSGAnnotation(cfg.data.anno_file)
     videos = args.videos or anno.video_ids(args.split)
+    videos = partition_videos(videos)
     logger.info(f"{len(videos)} videos")
 
     model = Mask2Former(cfg.model)
