@@ -73,3 +73,51 @@ def test_end2end_cli(data_root, tmp_path):
     assert os.path.exists(os.path.join(vid_dir, "quantitive", "masks.txt"))
     assert os.path.exists(os.path.join(vid_dir, "query_feats.pickle"))
     assert os.path.exists(os.path.join(vid_dir, "triplets.json"))
+
+
+def test_eval_mots_cli(tmp_path):
+    """eval_mots CLI: perfect relabeled tracks -> every metric 1.0 (drives
+    masks.txt parsing, GT decode, CLEAR/IDF1/HOTA/J&F accumulation)."""
+    from openpvsg_tpu.data import rle as rle_codec
+
+    vid = "1000_mots"
+    root = tmp_path / "data"
+    fdir = root / "vidor" / "frames" / vid
+    mdir = root / "vidor" / "masks" / vid
+    qdir = tmp_path / "work" / vid / "quantitive"
+    for d in (fdir, mdir, qdir):
+        d.mkdir(parents=True)
+    T, H, W = 3, 32, 40
+    lines = []
+    for t in range(T):
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(
+            fdir / f"{t:04d}.png")
+        m = np.zeros((H, W), np.uint8)
+        m[4:12, 4 + t:12 + t] = 1
+        m[20:28, 20:28] = 2
+        Image.fromarray(m).save(mdir / f"{t:04d}.png")
+        for tid, iid in ((5, 1), (9, 2)):  # pred ids deliberately relabeled
+            rle = rle_codec.encode(np.ascontiguousarray(m == iid))
+            lines.append(f"{t + 1} {tid} 1 {H} {W} {rle['counts']}")
+    (qdir / "masks.txt").write_text("\n".join(lines) + "\n")
+    anno = {"objects": {"thing": ["person"], "stuff": ["floor"]},
+            "relations": ["on"],
+            "split": {"vidor": {"train": [], "val": [vid]},
+                      "epic_kitchen": {"train": [], "val": []},
+                      "ego4d": {"train": [], "val": []}},
+            "data": [{"video_id": vid, "meta": {}, "objects": [],
+                      "relations": []}]}
+    (root / "pvsg.json").write_text(json.dumps(anno))
+
+    out = tmp_path / "metrics.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENPVSG_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "eval_mots.py"),
+         "--data-dir", str(root), "--anno-file", str(root / "pvsg.json"),
+         "--work-dir", str(tmp_path / "work"), "--split", "val",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    m = json.loads(out.read_text())
+    for k in ("MOTA", "IDF1", "HOTA", "J", "F", "J&F"):
+        assert m[k] == pytest.approx(1.0), (k, m)
