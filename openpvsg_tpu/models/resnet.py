@@ -224,5 +224,8 @@ def fold_frozen_bn(variables, eps: float = 1e-5):
     new_params = fold(params, stats)
     new_vars = {k: v for k, v in variables.items()
                 if k not in ("params", "batch_stats")}
-    new_vars["params"] = new_params
+    # commit leaves to device: numpy leaves in a jitted function's inputs
+    # are re-transferred on EVERY call (measured: ~3 s/call through the
+    # axon tunnel for the R-50 tree — worse than the op savings by 400x)
+    new_vars["params"] = jax.tree_util.tree_map(jnp.asarray, new_params)
     return new_vars

@@ -46,16 +46,22 @@ def measure(model, variables, x, on_tpu: bool) -> float:
     n_short, n_long = (2, 22) if on_tpu else (1, 3)
     repeats = 5 if on_tpu else 1
     float(chain(variables, x, n_short))  # compile
-    best = float("inf")
-    for _ in range(repeats):  # tunnel timing is noisy: take the best pair
+    debug = bool(os.environ.get("PERF_DEBUG"))
+    # median of per-repeat deltas: min() lets one noisy pair (b < a over
+    # the ~25-30 ms tunnel floor) report an impossible 0
+    deltas = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         float(chain(variables, x, n_short))
         a = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(chain(variables, x, n_long))
         b = time.perf_counter() - t0
-        best = min(best, max((b - a) / (n_long - n_short) * 1000, 0.0))
-    return best
+        if debug:
+            print(f"  pair: short={a * 1000:.2f} ms long={b * 1000:.2f} ms",
+                  flush=True)
+        deltas.append(max((b - a) / (n_long - n_short) * 1000, 0.0))
+    return float(np.median(deltas))
 
 
 def main():
