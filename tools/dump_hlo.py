@@ -25,6 +25,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/vps.hlo.txt")
     p.add_argument("--top", type=int, default=25)
+    p.add_argument("--chain", action="store_true",
+                   help="dump the fori_loop-chained program (trace-name "
+                        "compatible with profile_forward.py)")
     args = p.parse_args()
 
     import jax
@@ -48,7 +51,19 @@ def main():
         out = model.apply(v, x)
         return out["cls_preds"][-1], out["mask_preds"][-1]
 
-    compiled = fwd.lower(v, x).compile()
+    if args.chain:
+        # the same fori_loop-chained program profile_forward.py traces, so
+        # fusion.NNNN names in its trace resolve directly in this dump
+        @jax.jit
+        def chain(v, x, iters):
+            def body(i, c):
+                out = model.apply(v, x + c * 1e-12)
+                return out["mask_preds"][-1].mean().astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+        compiled = chain.lower(v, x, 12).compile()
+    else:
+        compiled = fwd.lower(v, x).compile()
     txt = compiled.as_text()
     with open(args.out, "w") as f:
         f.write(txt)
