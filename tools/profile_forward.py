@@ -84,6 +84,9 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="profile the PERF.md training step (B=4 two-frame "
                         "clips, bf16, dense losses) instead of inference")
+    p.add_argument("--relation", action="store_true",
+                   help="profile the relation-head grad step at the PERF.md "
+                        "reference bucket (100 tubes, 900 frames, 50 pairs)")
     args = p.parse_args()
 
     import jax
@@ -99,7 +102,42 @@ def main():
     cfg = mask2former_vps().model
     rng = np.random.default_rng(0)
 
-    if args.train:
+    if args.relation:
+        from openpvsg_tpu.config import RelationHeadConfig
+        from openpvsg_tpu.models.relation.heads import RelationModel
+        from openpvsg_tpu.train.relation import make_train_step
+
+        rcfg = RelationHeadConfig()
+        N, TT, P, R = ((100, 900, 50, rcfg.num_relations) if on_tpu
+                       else (20, 128, 10, rcfg.num_relations))
+        model = RelationModel(model_name=rcfg.model_name,
+                              feature_dim=rcfg.d_model,
+                              num_relations=rcfg.num_relations)
+        feats0 = jnp.zeros((N, TT, rcfg.d_model))
+        pair0 = jnp.zeros((P, TT, 2 * rcfg.d_model))
+        params = model.init(jax.random.PRNGKey(0), feats0, pair0)["params"]
+        grad_step = make_train_step(model, np.ones(R, np.float32))
+        batch = {
+            "feats": jnp.asarray(
+                rng.standard_normal((N, TT, rcfg.d_model)), jnp.float32),
+            "tube_valid": jnp.ones((N,), bool),
+            "frame_valid": jnp.ones((TT,), bool),
+            "pair_idx": jnp.asarray(
+                rng.integers(0, N, (P, 2)), jnp.int32),
+            "pair_valid": jnp.ones((P,), bool),
+            "gt_matrix": jnp.asarray(
+                rng.random((N, N)) < 0.05, jnp.float32),
+            "gt_span": jnp.asarray(
+                rng.random((P, TT, R)) < 0.02, jnp.float32),
+            "gt_prob": jnp.asarray(rng.random((P, R)) < 0.1, jnp.float32),
+        }
+        float(grad_step(params, batch)[0])  # compile + warmup
+        jax.profiler.start_trace(args.out)
+        for _ in range(args.iters):
+            loss = grad_step(params, batch)[0]
+        float(loss)
+        jax.profiler.stop_trace()
+    elif args.train:
         import dataclasses
 
         from openpvsg_tpu.config import TrainConfig
