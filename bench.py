@@ -71,14 +71,19 @@ def _run():
 
     n_short, n_long = (2, 22) if on_tpu else (1, 4)
     float(chain(variables, images, n_short))  # compile once (dynamic count)
-    t0 = time.perf_counter()
-    float(chain(variables, images, n_short))
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(chain(variables, images, n_long))
-    t_long = time.perf_counter() - t0
-
-    per_iter = (t_long - t_short) / (n_long - n_short)
+    # median of several pairs: the tunnel intermittently degrades to
+    # seconds-per-call (PERF.md round 2) and a single polluted pair would
+    # report garbage; the median of 5 rides out a transient
+    deltas = []
+    for _ in range(5 if on_tpu else 1):
+        t0 = time.perf_counter()
+        float(chain(variables, images, n_short))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(chain(variables, images, n_long))
+        t_long = time.perf_counter() - t0
+        deltas.append((t_long - t_short) / (n_long - n_short))
+    per_iter = float(np.median(deltas))
     frames_per_sec = T / per_iter
     target = 50.0  # BASELINE.md: >= 50 frames/sec/chip
     print(json.dumps({
