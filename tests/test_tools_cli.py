@@ -121,3 +121,59 @@ def test_eval_mots_cli(tmp_path):
     m = json.loads(out.read_text())
     for k in ("MOTA", "IDF1", "HOTA", "J", "F", "J&F"):
         assert m[k] == pytest.approx(1.0), (k, m)
+
+
+def test_rel_test_cli_honors_capacity_overrides(tmp_path):
+    """Regression: rel_test.py constructed RelationModel with class defaults
+    (num_relations=57), exploding on any checkpoint trained with --set
+    relation.num_relations=K. Train-save a K=5 head, eval through the CLI."""
+    import pickle
+
+    from openpvsg_tpu.config import RelationHeadConfig
+    from openpvsg_tpu.models.relation.heads import RelationModel
+    from openpvsg_tpu.train.checkpoint import save_checkpoint
+
+    import jax
+    import jax.numpy as jnp
+
+    vid = "1000_rel"
+    root = tmp_path / "data"
+    root.mkdir()
+    wdir = tmp_path / "work" / "train_save_qf" / vid
+    wdir.mkdir(parents=True)
+    R, D, T = 5, 256, 12
+    rng_ = np.random.default_rng(0)
+    feats = {3: rng_.standard_normal((T, D)).astype(np.float32),
+             7: rng_.standard_normal((T, D)).astype(np.float32)}
+    rels = [{"subject_index": 3, "object_index": 7, "relation": 1,
+             "relation_span": [[0, T - 1]]}]
+    with open(wdir / "relations.pickle", "wb") as f:
+        pickle.dump({"feats": feats, "relations": rels}, f)
+    anno = {"objects": {"thing": ["person", "dog"], "stuff": ["floor"]},
+            "relations": ["on", "next-to", "holding", "near", "touching"],
+            "split": {"vidor": {"train": [vid], "val": []},
+                      "epic_kitchen": {"train": [], "val": []},
+                      "ego4d": {"train": [], "val": []}},
+            "data": [{"video_id": vid, "meta": {},
+                      "objects": [{"object_id": 3, "category": "person"},
+                                  {"object_id": 7, "category": "dog"}],
+                      "relations": [[3, 7, "next-to", [[0, T - 1]]]]}]}
+    (root / "pvsg.json").write_text(json.dumps(anno))
+
+    model = RelationModel(model_name="transformer", feature_dim=D,
+                          num_relations=R)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, T, D)), jnp.zeros((1, T, 2 * D)))
+    ckpt = tmp_path / "rel_ckpt"
+    save_checkpoint(str(ckpt), {"params": params["params"]})
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENPVSG_PLATFORM="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rel_test.py"),
+         "--data-dir", str(root), "--anno-file", str(root / "pvsg.json"),
+         "--work-dir", str(tmp_path / "work"), "--split", "train",
+         "--model-name", "transformer", "--checkpoint", str(ckpt),
+         "--set", f"relation.num_relations={R}"],
+        capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2500:]
+    assert "Recall@20" in proc.stdout

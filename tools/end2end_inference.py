@@ -76,7 +76,11 @@ def main():
                              mesh=mesh)
 
     # --- relation head
-    rel_model = RelationModel(model_name=args.model_name)
+    # honor config capacity overrides (--set relation.num_relations=K
+    # etc.) — the checkpoint's shapes must match the model's
+    rel_model = RelationModel(model_name=args.model_name,
+                                  feature_dim=cfg.relation.d_model,
+                                  num_relations=cfg.relation.num_relations)
     if args.relation_checkpoint:
         rel_params = load_relation_params(args.relation_checkpoint,
                                           args.model_name)

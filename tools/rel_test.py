@@ -41,7 +41,11 @@ def main():
     work_dir = os.path.join(cfg.data.work_dir, f"{args.split}_save_qf")
     logger = setup_logging(os.path.dirname(args.checkpoint) or ".", "rel_test")
     ds = PVSGRelationDataset(cfg.data.anno_file, args.split, work_dir)
-    model = RelationModel(model_name=args.model_name)
+    # honor config capacity overrides (--set relation.num_relations=K
+    # etc.) — the checkpoint's shapes must match the model's
+    model = RelationModel(model_name=args.model_name,
+                              feature_dim=cfg.relation.d_model,
+                              num_relations=cfg.relation.num_relations)
     params = load_relation_params(args.checkpoint, args.model_name)
 
     metrics = evaluate(model, params, (ds[i] for i in range(len(ds))),

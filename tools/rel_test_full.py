@@ -34,7 +34,11 @@ def main():
     ds = PVSGRelationDataset(cfg.data.anno_file, args.split, work_dir,
                              return_mask=True)
     anno = PVSGRelationAnnotation(cfg.data.anno_file, args.split)
-    model = RelationModel(model_name=args.model_name)
+    # honor config capacity overrides (--set relation.num_relations=K
+    # etc.) — the checkpoint's shapes must match the model's
+    model = RelationModel(model_name=args.model_name,
+                              feature_dim=cfg.relation.d_model,
+                              num_relations=cfg.relation.num_relations)
     params = load_relation_params(args.checkpoint, args.model_name)
 
     out = evaluate_full(model, params, (ds[i] for i in range(len(ds))),
