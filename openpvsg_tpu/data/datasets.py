@@ -67,8 +67,12 @@ class PVSGImageDataset:
 
     def __getitem__(self, i: int) -> Dict:
         e = self.index.entries[i]
+        # "objects" must ride along: decode_palette_mask maps unknown
+        # object ids to the void label, so a consumer decoding the
+        # augmented mask without it gets all-void GT (silent — found when
+        # an IPS model trained to predict only background, DEMO.md)
         out = {"video_id": e["video_id"], "frame_id": e["frame_id"],
-               "img": load_frame(e["img"])}
+               "img": load_frame(e["img"]), "objects": e["objects"]}
         if e["ann"]:
             pan = load_mask(e["ann"])
             out.update(decode_palette_mask(

@@ -103,6 +103,11 @@ def test_datasets_load(dataset_dir):
     assert item["img"].shape == (H, W, 3)
     assert set(item["gt_instance_ids"].tolist()) == {1, 2}
     assert item["gt_masks"].shape[0] == 2
+    # regression: items must carry the objects list — decoding the
+    # augmented mask without it silently yields all-void labels (the IPS
+    # trainer then learns to predict only background, DEMO.md)
+    assert item["objects"], "image dataset item missing objects"
+    assert not np.all(item["gt_labels"] == ds.num_classes)
 
     vds = PVSGVideoDataset(os.path.join(dataset_dir, "pvsg.json"), dataset_dir,
                            "train", ref_seq_index=(0, 1))

@@ -147,7 +147,9 @@ def main():
         if video:
             tgt = dataset.clip_targets(masks_t, item["objects"])
         else:
-            d = decode_palette_mask(masks_t[0], item.get("objects", []),
+            # item["objects"] is required: decoding without it silently maps
+            # every instance to the void label (all-background training)
+            d = decode_palette_mask(masks_t[0], item["objects"],
                                     dataset.class_index, dataset.num_classes)
             tgt = {"gt_labels": d["gt_labels"],
                    "gt_mask_tubes": d["gt_masks"][:, None]}
