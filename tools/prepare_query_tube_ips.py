@@ -61,7 +61,14 @@ def main():
     seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype,
                              mesh=mesh)
 
-    app = make_appearance_model(depth=cfg.tracker.appearance_depth)
+    # honor the zoo entry + layer surgery from tracker_cfg (reference
+    # model_type/remove_layers, models/unitrack/model/model.py:89-147);
+    # appearance_depth remains the debug-scale escape hatch
+    app = make_appearance_model(depth=cfg.tracker.appearance_depth,
+                                model_type=(cfg.tracker.model_type
+                                            if cfg.tracker.appearance_depth
+                                            in (18, 34, 50, 101) else None),
+                                remove_layers=cfg.tracker.remove_layers)
     if args.appearance_checkpoint:
         from openpvsg_tpu.train.checkpoint import (
             convert_torchvision_resnet, torch_state_dict_to_numpy)
