@@ -97,6 +97,13 @@ class SegmenterInference:
         self.model = Mask2Former(cfg, dtype=dtype)
         self.mesh = mesh
         self.pad_divisor = pad_divisor
+        # flax silently ignores params the model never reads — catch
+        # config/checkpoint structure mismatches up front
+        from openpvsg_tpu.train.checkpoint import check_no_extra_params
+
+        check_no_extra_params(self.model,
+                              jnp.zeros((1, 1, 64, 64, 3), jnp.float32),
+                              variables, where="SegmenterInference")
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -44,6 +44,33 @@ def load_checkpoint(path: str, target=None):
     return ckpt.restore(os.path.abspath(path), target)
 
 
+def check_no_extra_params(model, example, variables, where: str = "model"):
+    """Fail loudly when `variables` contains param paths the model never
+    reads. flax's apply silently IGNORES extra params (verified), so e.g.
+    loading a 10-decoder-layer checkpoint into a 9-layer config runs a
+    truncated model with no error. Missing params / shape mismatches
+    already raise inside apply; only the extra case is silent. Structure
+    comes from jax.eval_shape (no FLOPs)."""
+    import flax
+    import jax
+
+    expected = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), example))
+    for coll in ("params", "batch_stats"):
+        if coll not in variables or coll not in expected:
+            continue
+        got = set(flax.traverse_util.flatten_dict(dict(variables[coll])))
+        want = set(flax.traverse_util.flatten_dict(dict(expected[coll])))
+        extra = got - want
+        if extra:
+            sample = sorted("/".join(p) for p in extra)[:8]
+            raise ValueError(
+                f"{where}: checkpoint has {len(extra)} {coll} entries the "
+                f"configured model does not use (flax would silently ignore "
+                f"them — likely a config/checkpoint mismatch, e.g. fewer "
+                f"layers configured than trained): {sample}")
+
+
 # ---------------------------------------------------------------------------
 # torch -> flax converters (work on plain {name: np.ndarray} dicts; call
 # `torch_state_dict_to_numpy` first when starting from a .pth file)

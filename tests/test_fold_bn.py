@@ -84,3 +84,28 @@ def test_segmenter_inference_folds_by_default(rng):
     np.testing.assert_allclose(cls_f, cls_p, atol=1e-4)
     np.testing.assert_allclose(masks_f, masks_p, atol=1e-3)
     np.testing.assert_allclose(q_f, q_p, atol=1e-4)
+
+
+def test_segmenter_rejects_extra_checkpoint_params(rng):
+    """flax silently ignores params the model never reads, so loading a
+    bigger checkpoint into a smaller config would run a truncated model;
+    SegmenterInference must refuse."""
+    import dataclasses
+
+    from openpvsg_tpu.config import (BackboneConfig, Mask2FormerConfig,
+                                     PixelDecoderConfig,
+                                     TransformerDecoderConfig)
+    from openpvsg_tpu.infer.segmenter import SegmenterInference
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    cfg3 = Mask2FormerConfig(
+        num_things_classes=3, num_stuff_classes=2, num_queries=4,
+        backbone=BackboneConfig(depth=26),
+        pixel_decoder=PixelDecoderConfig(encoder_layers=1, ffn_channels=32),
+        decoder=TransformerDecoderConfig(num_layers=3, ffn_channels=32))
+    v3 = Mask2Former(cfg3).init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 1, 32, 32, 3)))
+    cfg2 = dataclasses.replace(
+        cfg3, decoder=dataclasses.replace(cfg3.decoder, num_layers=2))
+    with pytest.raises(ValueError, match="does not use"):
+        SegmenterInference(cfg2, v3)
