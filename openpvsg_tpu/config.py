@@ -8,6 +8,7 @@ reference's ``--cfg-options`` capability.
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -262,9 +263,52 @@ PRESETS = {
 
 
 def get_config(name: str) -> PVSGConfig:
+    """Preset name, or a path to a config.json dumped by save_config
+    (tools/train.py writes one into the work dir — the reference dumps its
+    resolved mmcv config the same way, tools/train.py:198)."""
+    if name.endswith(".json") and os.path.exists(name):
+        return load_config_file(name)
     if name not in PRESETS:
         raise KeyError(f"unknown config preset '{name}'; have {sorted(PRESETS)}")
     return PRESETS[name]()
+
+
+def config_to_dict(cfg: PVSGConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)
+
+
+def _dataclass_from_dict(cls, d: Dict[str, Any]):
+    defaults = cls()
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        cur = getattr(defaults, f.name)
+        if isinstance(v, dict) and dataclasses.is_dataclass(cur):
+            kwargs[f.name] = _dataclass_from_dict(type(cur), v)
+        elif isinstance(v, list):
+            # json has no tuples; every sequence field here is a tuple
+            kwargs[f.name] = tuple(tuple(e) if isinstance(e, list) else e
+                                   for e in v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_config(cfg: PVSGConfig, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=1)
+
+
+def load_config_file(path: str) -> PVSGConfig:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return _dataclass_from_dict(PVSGConfig, d)
 
 
 def apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> Any:

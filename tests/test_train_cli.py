@@ -81,3 +81,19 @@ def test_train_cli_steps(data_root, tmp_path, preset):
     ckpts = [d for d in os.listdir(os.path.join(work_dir, preset))
              if d.startswith("epoch_")]
     assert ckpts, f"no checkpoint saved; {os.listdir(os.path.join(work_dir, preset))}"
+
+
+def test_config_roundtrip_all_presets(tmp_path):
+    """save_config/load_config_file must reproduce every preset exactly
+    (json has no tuples — sequence fields are re-tupled on load)."""
+    from openpvsg_tpu.config import (PRESETS, apply_overrides, get_config,
+                                     load_config_file, save_config)
+
+    for name in PRESETS:
+        cfg = get_config(name)
+        cfg = apply_overrides(cfg, {"model.num_queries": 7})
+        p = str(tmp_path / f"{name}.json")
+        save_config(cfg, p)
+        restored = load_config_file(p)
+        assert restored == cfg, name
+        assert get_config(p) == cfg  # --config <path> route

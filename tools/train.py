@@ -109,6 +109,11 @@ def main():
         cfg = _ov(cfg, {"train.lr": scaled})
         logger.info(f"auto-scale-lr: lr -> {scaled:g} (batch {batch} / 16)")
 
+    # dump the resolved config (reference: mmcv cfg.dump into work_dir,
+    # tools/train.py:198); downstream tools accept it via --config <path>
+    from openpvsg_tpu.config import save_config
+    save_config(cfg, os.path.join(work_dir, "config.json"))
+
     trainer = SegmenterTrainer(cfg.model, cfg.train, mesh=mesh,
                                steps_per_epoch=steps_per_epoch,
                                example_shape=(T, ph, pw))
