@@ -130,6 +130,36 @@ def main():
         report["fold_bn_fps"] = round(T / (ms / 1000), 1)
         print("fold_bn:", report["fold_bn_ms"], "ms", flush=True)
 
+    if "sep_maxpool" in want:
+        # stem maxpool as separable shifted-slice maxima (bit-exact vs
+        # nn.max_pool, verified incl. odd shapes) — reduce_window_max
+        # measured 245 us vs a ~36 us bandwidth floor (PERF.md)
+        import flax.linen as flax_nn
+
+        def sep_maxpool_3x3s2(x, window, strides=None, padding=None):
+            neg = -jnp.inf
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)),
+                         constant_values=neg)
+            r = jnp.maximum(jnp.maximum(xp[:, 0:-2:2], xp[:, 1:-1:2]),
+                            xp[:, 2::2])
+            rp = jnp.pad(r, ((0, 0), (0, 0), (1, 1), (0, 0)),
+                         constant_values=neg)
+            return jnp.maximum(
+                jnp.maximum(rp[:, :, 0:-2:2], rp[:, :, 1:-1:2]),
+                rp[:, :, 2::2])
+
+        orig_pool = flax_nn.max_pool
+        import openpvsg_tpu.models.resnet as resnet_mod
+
+        resnet_mod.nn.max_pool = sep_maxpool_3x3s2
+        try:
+            ms = measure(Mask2Former(cfg, dtype=dtype), v_f32, x, on_tpu)
+        finally:
+            resnet_mod.nn.max_pool = orig_pool
+        report["sep_maxpool_ms"] = round(ms, 3)
+        report["sep_maxpool_fps"] = round(T / (ms / 1000), 1)
+        print("sep_maxpool:", report["sep_maxpool_ms"], "ms", flush=True)
+
     if "t8" in want:
         # double window: per-frame cost should FALL if the model is
         # op-count-bound (fixed per-op cost amortized over 2x frames),
