@@ -266,7 +266,11 @@ def get_config(name: str) -> PVSGConfig:
     """Preset name, or a path to a config.json dumped by save_config
     (tools/train.py writes one into the work dir — the reference dumps its
     resolved mmcv config the same way, tools/train.py:198)."""
-    if name.endswith(".json") and os.path.exists(name):
+    if name.endswith(".json"):
+        if not os.path.exists(name):
+            raise FileNotFoundError(
+                f"config file '{name}' does not exist (a .json --config is "
+                f"always treated as a path, never a preset name)")
         return load_config_file(name)
     if name not in PRESETS:
         raise KeyError(f"unknown config preset '{name}'; have {sorted(PRESETS)}")

@@ -47,8 +47,25 @@ def make_appearance_model(norm: str = "frozen_bn", depth: int = 50,
     return model
 
 
+def resolve_appearance_spec(tracker_cfg):
+    """The ONE rule mapping tracker_cfg -> (depth, model_type,
+    remove_layers) for the appearance encoder. Every consumer (the stage-2
+    tool initializing weights, the tracker building the jitted extractor)
+    must use this, or their param trees disagree and extraction crashes.
+
+    Non-default model_type selects the zoo entry (which fixes its own
+    depth); otherwise appearance_depth drives (standard depths map to the
+    imagenet zoo entries, other depths are the debug-scale path)."""
+    model_type = getattr(tracker_cfg, "model_type", "imagenet50")
+    remove_layers = tuple(getattr(tracker_cfg, "remove_layers", ("layer4",)))
+    depth = getattr(tracker_cfg, "appearance_depth", 50)
+    if model_type != "imagenet50":
+        return depth, model_type, remove_layers
+    return depth, None, remove_layers
+
+
 @partial(jax.jit, static_argnames=("max_pixels", "max_mask_area", "down",
-                                   "depth", "model_type"))
+                                   "depth", "model_type", "remove_layers"))
 def extract_object_embeddings(
     variables: Any,
     frame: jnp.ndarray,
@@ -58,13 +75,15 @@ def extract_object_embeddings(
     down: int = 8,
     depth: int = 50,
     model_type: str | None = None,
+    remove_layers: Tuple[str, ...] = ("layer4",),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """frame: (H, W, 3) uint8/float RGB in [0, 255]; masks: (N, H, W) binary.
 
     Returns (feats (N, max_pixels, D) channel-L2-normalized zero-padded pixel
     features, valid (N, max_pixels) bool). One fused device call per frame.
     """
-    model = make_appearance_model(depth=depth, model_type=model_type)
+    model = make_appearance_model(depth=depth, model_type=model_type,
+                                  remove_layers=remove_layers)
     x = frame.astype(jnp.float32) / 255.0
     x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
     feat = model.apply(variables, x[None])[0][0]  # (h, w, D)

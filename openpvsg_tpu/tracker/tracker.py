@@ -55,13 +55,14 @@ class MaskAssociationTracker:
         keep_idx into the original mask order)."""
         if masks.shape[0] == 0:
             return [], np.empty(0, dtype=int)
+        from openpvsg_tpu.tracker.appearance import resolve_appearance_spec
+
+        depth, model_type, remove_layers = resolve_appearance_spec(self.cfg)
         feats, valid = extract_object_embeddings(
             self.appearance_variables, frame, masks,
             max_mask_area=self.cfg.max_mask_area,
-            depth=self.cfg.appearance_depth,
-            model_type=getattr(self.cfg, "model_type", None)
-            if getattr(self.cfg, "model_type", "imagenet50") != "imagenet50"
-            else None)
+            depth=depth, model_type=model_type,
+            remove_layers=remove_layers)
         feats = np.asarray(feats)
         valid = np.asarray(valid)
         boxes = np.stack([mask_to_box(m) for m in masks])

@@ -97,3 +97,12 @@ def test_config_roundtrip_all_presets(tmp_path):
         restored = load_config_file(p)
         assert restored == cfg, name
         assert get_config(p) == cfg  # --config <path> route
+
+
+def test_missing_config_json_raises_file_not_found(tmp_path):
+    """A .json --config is always a path; a missing one must raise
+    FileNotFoundError, not fall through to 'unknown preset'."""
+    from openpvsg_tpu.config import get_config
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        get_config(str(tmp_path / "nope.json"))

@@ -115,3 +115,36 @@ def test_crw_surgery_matches_torch(rng):
     out = model.apply(variables, jnp.asarray(
         x.permute(0, 2, 3, 1).numpy()))
     np.testing.assert_allclose(np.asarray(out[0]), expect, atol=1e-4)
+
+
+def test_tracker_and_tool_agree_on_appearance_spec(rng):
+    """Regression: the stage-2 tool initialized appearance weights with
+    tracker_cfg's model_type/remove_layers while the tracker's jitted
+    extractor rebuilt the encoder with hardcoded defaults — any
+    non-default value crashed (ScopeParamNotFoundError) or was silently
+    ignored. Both now resolve through resolve_appearance_spec."""
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.config import TrackerConfig
+    from openpvsg_tpu.tracker.appearance import (make_appearance_model,
+                                                 resolve_appearance_spec)
+    from openpvsg_tpu.tracker.tracker import MaskAssociationTracker
+
+    frame = rng.integers(0, 255, (64, 64, 3)).astype(np.float32)
+    masks = np.zeros((2, 64, 64), np.uint8)
+    masks[0, 5:20, 5:20] = 1
+    masks[1, 30:50, 30:50] = 1
+    qf = [{"query_feat": np.zeros(4), "cls_id": 0},
+          {"query_feat": np.zeros(4), "cls_id": 1}]
+
+    for cfg in (TrackerConfig(appearance_depth=18),
+                TrackerConfig(appearance_depth=18,
+                              remove_layers=("layer3", "layer4")),
+                TrackerConfig(model_type="crw")):
+        d, mt, rl = resolve_appearance_spec(cfg)
+        app = make_appearance_model(depth=d, model_type=mt, remove_layers=rl)
+        v = app.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        tracker = MaskAssociationTracker(cfg, appearance_variables=v)
+        online, _ = tracker.update(frame, masks, qf)
+        assert len(online) == 2, (cfg.model_type, cfg.remove_layers)

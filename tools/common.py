@@ -64,13 +64,21 @@ def init_distributed(args) -> None:
 
 
 def maybe_mesh(min_devices: int = 2):
-    """A ('data', 'time') mesh over all addressable devices when more than
-    one is visible, else None — the tools' opt-out-free path to frame-/batch-
-    sharded execution (multi-host: jax.devices() is the global list, so the
-    mesh spans every process after init_distributed)."""
+    """A ('data', 'time') mesh for the tools' frame-/batch-sharded
+    inference, or None when only one device is visible.
+
+    Multi-process runs use THIS PROCESS's devices only: the tools stride
+    the per-video work list across processes (partition_videos), so each
+    process runs independent computations on different videos — a global
+    mesh would require all processes to execute identical programs in
+    lockstep. Local meshes + file-level result collection ≡ the
+    reference's independent multi_gpu_test workers. (Training is
+    different: SegmenterTrainer builds its own global mesh for lockstep
+    DP steps.)"""
     import jax
 
-    devices = jax.devices()
+    devices = jax.local_devices() if jax.process_count() > 1 \
+        else jax.devices()
     if len(devices) < min_devices:
         return None
     from openpvsg_tpu.parallel.mesh import make_mesh

@@ -61,14 +61,13 @@ def main():
     seg = SegmenterInference(cfg.model, variables, dtype=infer_dtype,
                              mesh=mesh)
 
-    # honor the zoo entry + layer surgery from tracker_cfg (reference
-    # model_type/remove_layers, models/unitrack/model/model.py:89-147);
-    # appearance_depth remains the debug-scale escape hatch
-    app = make_appearance_model(depth=cfg.tracker.appearance_depth,
-                                model_type=(cfg.tracker.model_type
-                                            if cfg.tracker.appearance_depth
-                                            in (18, 34, 50, 101) else None),
-                                remove_layers=cfg.tracker.remove_layers)
+    # zoo entry + layer surgery resolved by the SAME rule the tracker's
+    # jitted extractor uses — a mismatch means disagreeing param trees
+    from openpvsg_tpu.tracker.appearance import resolve_appearance_spec
+
+    app_depth, app_type, app_remove = resolve_appearance_spec(cfg.tracker)
+    app = make_appearance_model(depth=app_depth, model_type=app_type,
+                                remove_layers=app_remove)
     if args.appearance_checkpoint:
         from openpvsg_tpu.train.checkpoint import (
             convert_torchvision_resnet, torch_state_dict_to_numpy)
