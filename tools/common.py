@@ -39,6 +39,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="explicit coordinator address (non-TPU clusters)")
     p.add_argument("--dist-num-processes", type=int, default=None)
     p.add_argument("--dist-process-id", type=int, default=None)
+    p.add_argument("--n-time", type=int, default=1, metavar="K",
+                   help="mesh 'time'-axis size: devices form a "
+                        "(n_devices/K, K) (data, time) mesh and relation "
+                        "scoring shards the frame axis over 'time' "
+                        "(TimeShardedRelation); 1 = pure data axis")
     return p
 
 
@@ -63,9 +68,11 @@ def init_distributed(args) -> None:
     jax.distributed.initialize(**kwargs)
 
 
-def maybe_mesh(min_devices: int = 2):
+def maybe_mesh(min_devices: int = 2, n_time: int = 1):
     """A ('data', 'time') mesh for the tools' frame-/batch-sharded
-    inference, or None when only one device is visible.
+    inference, or None when only one device is visible. n_time > 1 carves
+    the devices into a (n/k, k) grid so the relation stage can shard the
+    frame axis over 'time' (parallel/tp.py).
 
     Multi-process runs use THIS PROCESS's devices only: the tools stride
     the per-video work list across processes (partition_videos), so each
@@ -79,11 +86,16 @@ def maybe_mesh(min_devices: int = 2):
 
     devices = jax.local_devices() if jax.process_count() > 1 \
         else jax.devices()
-    if len(devices) < min_devices:
+    if len(devices) < max(min_devices, n_time):
         return None
     from openpvsg_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(n_data=len(devices), devices=devices)
+    if len(devices) % n_time:
+        raise SystemExit(
+            f"--n-time {n_time} does not divide the {len(devices)} visible "
+            "devices")
+    return make_mesh(n_data=len(devices) // n_time, n_time=n_time,
+                     devices=devices)
 
 
 def partition_videos(videos):
@@ -98,6 +110,35 @@ def partition_videos(videos):
     if n <= 1:
         return list(videos)
     return list(videos)[jax.process_index()::n]
+
+
+def collect_rank_results(work_dir: str, name: str, payload):
+    """File-level multi-host result collection (reference: mmcv
+    collect_results_cpu used by multi_gpu_test, e.g.
+    tools/prepare_query_tube_ips.py:248-250): each process pickles its
+    payload as {name}_rank{i}.pkl in the shared work_dir; after a barrier,
+    process 0 returns the list of all payloads (other processes get None).
+    Single-process runs return [payload] without touching disk."""
+    import pickle
+
+    import jax
+
+    if jax.process_count() <= 1:
+        return [payload]
+    os.makedirs(work_dir, exist_ok=True)
+    path = os.path.join(work_dir, f"{name}_rank{jax.process_index()}.pkl")
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"collect_{name}")
+    if jax.process_index() != 0:
+        return None
+    out = []
+    for i in range(jax.process_count()):
+        with open(os.path.join(work_dir, f"{name}_rank{i}.pkl"), "rb") as f:
+            out.append(pickle.load(f))
+    return out
 
 
 def load_config(args) -> PVSGConfig:

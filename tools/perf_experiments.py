@@ -60,8 +60,16 @@ def measure(model, variables, x, on_tpu: bool) -> float:
         if debug:
             print(f"  pair: short={a * 1000:.2f} ms long={b * 1000:.2f} ms",
                   flush=True)
-        deltas.append(max((b - a) / (n_long - n_short) * 1000, 0.0))
-    return float(np.median(deltas))
+        deltas.append((b - a) / (n_long - n_short) * 1000)
+    # tunnel-polluted pairs (long run "faster" than short) are invalid, not
+    # zero-cost — drop them so the median can't collapse to 0 and divide the
+    # subsequent fps computation (ADVICE r2); fail loudly if none survive
+    valid = [d for d in deltas if d > 0]
+    if not valid:
+        raise RuntimeError(
+            f"all {len(deltas)} timing pairs were tunnel-polluted "
+            f"(non-positive deltas {deltas}); rerun when the tunnel is quiet")
+    return float(np.median(valid))
 
 
 def main():

@@ -9,7 +9,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import base_parser, load_config, maybe_mesh, setup_logging
+
+
+def make_relation_executor(mesh, model, params):
+    """TimeShardedRelation over the CLI mesh (pairs sharded over 'data',
+    frames over 'time'); None when no mesh is available."""
+    if mesh is None:
+        return None
+    from openpvsg_tpu.parallel.tp import TimeShardedRelation
+
+    return TimeShardedRelation(mesh, model, params)
 
 
 def load_relation_params(checkpoint: str, model_name: str):
@@ -48,8 +58,13 @@ def main():
                               num_relations=cfg.relation.num_relations)
     params = load_relation_params(args.checkpoint, args.model_name)
 
+    mesh = maybe_mesh(n_time=args.n_time)
+    executor = make_relation_executor(mesh, model, params)
+    if executor is not None:
+        logger.info(f"relation scoring on a (data={mesh.shape['data']}, "
+                    f"time={mesh.shape['time']}) mesh")
     metrics = evaluate(model, params, (ds[i] for i in range(len(ds))),
-                       args.num_top_pairs, ds.relations)
+                       args.num_top_pairs, ds.relations, executor=executor)
     print(f"Pair Recall@20: {100 * metrics['pair_recall_20']:.2f}")
     for K in (20, 50, 100):
         m = metrics[K]

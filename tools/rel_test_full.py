@@ -8,8 +8,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
-from tools.rel_test import load_relation_params
+from tools.common import base_parser, load_config, maybe_mesh, setup_logging
+from tools.rel_test import load_relation_params, make_relation_executor
 
 
 def main():
@@ -41,8 +41,14 @@ def main():
                               num_relations=cfg.relation.num_relations)
     params = load_relation_params(args.checkpoint, args.model_name)
 
+    mesh = maybe_mesh(n_time=args.n_time)
+    executor = make_relation_executor(mesh, model, params)
+    if executor is not None:
+        logger.info(f"relation scoring on a (data={mesh.shape['data']}, "
+                    f"time={mesh.shape['time']}) mesh")
     out = evaluate_full(model, params, (ds[i] for i in range(len(ds))),
-                        anno, cfg.data.data_dir, args.num_top_pairs)
+                        anno, cfg.data.data_dir, args.num_top_pairs,
+                        executor=executor)
     for tag, metrics in (("", out["metrics"]), ("Soft ", out["soft_metrics"])):
         for K in (20, 50, 100):
             m = metrics[K]

@@ -12,7 +12,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import base_parser, load_config, maybe_mesh, setup_logging
 
 
 def main():
@@ -32,7 +32,8 @@ def main():
     from openpvsg_tpu.eval.rel_eval import evaluate
     from openpvsg_tpu.eval.rel_full_eval import save_metrics_to_csv
     from openpvsg_tpu.train.checkpoint import save_checkpoint
-    from openpvsg_tpu.train.relation import RelationTrainer
+    from openpvsg_tpu.train.relation import (DataParallelRelationTrainer,
+                                             RelationTrainer)
 
     work_dir = os.path.join(cfg.data.work_dir, "train_save_qf")
     work_dir_eval = os.path.join(cfg.data.work_dir, "val_save_qf")
@@ -53,7 +54,17 @@ def main():
         for rel in train_ds[i]["relations"]:
             relation_count[int(rel["relation"])] += 1
 
-    trainer = RelationTrainer(rel_cfg, relation_count, rng_seed=args.seed)
+    # multi-device: shard the gradient accumulation over the mesh 'data'
+    # axis — same accumulate-then-divide semantics, n_data videos per
+    # device step (tests/test_relation_dp.py proves param parity)
+    mesh = maybe_mesh()
+    if mesh is not None:
+        logger.info(f"data-parallel accumulation over "
+                    f"{mesh.shape['data']} devices")
+        trainer = DataParallelRelationTrainer(rel_cfg, relation_count, mesh,
+                                              rng_seed=args.seed)
+    else:
+        trainer = RelationTrainer(rel_cfg, relation_count, rng_seed=args.seed)
     rng = np.random.default_rng(args.seed)
     epochs = args.epochs or rel_cfg.epochs
 

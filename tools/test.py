@@ -12,8 +12,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import (base_parser, load_config, maybe_mesh,
-                          setup_logging)
+from tools.common import (base_parser, collect_rank_results, load_config,
+                          maybe_mesh, partition_videos, setup_logging)
 
 
 def main():
@@ -80,7 +80,9 @@ def main():
         window = cfg.data.ref_seq_len_test
         totals = {}
         n_vids = 0
-        for vid in anno.video_ids(args.split):
+        # multi-host: each process scores its strided share of videos;
+        # per-video sums are file-collected and reduced on process 0
+        for vid in partition_videos(anno.video_ids(args.split)):
             frames = frame_paths(cfg.data.data_dir, vid, "frames")
             masks = frame_paths(cfg.data.data_dir, vid, "masks")
             if not frames or len(frames) != len(masks):
@@ -105,29 +107,53 @@ def main():
                 totals[k] = totals.get(k, 0.0) + v
             logger.info(f"{vid}: " + " ".join(
                 f"{k}={v:.4f}" for k, v in sorted(m.items())))
-        if n_vids:
-            summary = {k: v / n_vids for k, v in sorted(totals.items())}
-            logger.info("mean over videos: " + " ".join(
-                f"{k}={v:.4f}" for k, v in summary.items()))
-            print(summary)
+        parts = collect_rank_results(work_dir, "vpq", (totals, n_vids))
+        if parts is not None:            # single-process, or process 0
+            totals, n_vids = {}, 0
+            for t, n in parts:
+                n_vids += n
+                for k, v in t.items():
+                    totals[k] = totals.get(k, 0.0) + v
+            if n_vids:
+                summary = {k: v / n_vids for k, v in sorted(totals.items())}
+                logger.info("mean over videos: " + " ".join(
+                    f"{k}={v:.4f}" for k, v in summary.items()))
+                print(summary)
         if args.eval == "VPQ":
             return
 
+    # multi-host: strided frame partition per process; the per-frame PQ
+    # stat tuples element-sum, so each rank pre-sums its share and rank 0
+    # merges (file-level collection, like the reference's multi_gpu_test)
+    import jax as _jax
+
+    indices = partition_videos(range(len(dataset)))
     results = []
     bs = args.batch_size
-    for lo in range(0, len(dataset), bs):
-        frames = [dataset[i]["img"]
-                  for i in range(lo, min(lo + bs, len(dataset)))]
+    for lo in range(0, len(indices), bs):
+        frames = [dataset[i]["img"] for i in indices[lo:lo + bs]]
         outs = seg.infer_frames_ips(np.stack(frames))
         results.extend(o["pan_results"] for o in outs)
         if lo % (bs * 20) == 0:
-            logger.info(f"{lo}/{len(dataset)}")
+            logger.info(f"{lo}/{len(indices)}")
 
     if args.out:
-        with open(args.out, "wb") as f:
+        out_path = args.out if _jax.process_count() <= 1 else (
+            f"{args.out}.rank{_jax.process_index()}")
+        with open(out_path, "wb") as f:
             pickle.dump(results, f)
     if "PQ" in args.eval:
-        metrics = dataset.evaluate(results)
+        from openpvsg_tpu.eval.vpq import pq_summary
+
+        stats = dataset.frame_stats(results, indices)
+        presum = [np.sum([s[j] for s in stats], axis=0) for j in range(4)] \
+            if stats else None
+        parts = collect_rank_results(work_dir, "pq_stats", presum)
+        if parts is None:                # non-zero rank in multi-host run
+            return
+        metrics = pq_summary([p for p in parts if p is not None],
+                             len(dataset.anno.thing_classes),
+                             len(dataset.anno.stuff_classes))
         logger.info(f"PQ={metrics['PQ']:.4f} PQ_th={metrics['PQ_th']:.4f} "
                     f"PQ_st={metrics['PQ_st']:.4f}")
         # per-class table (reference prints the mmdet PQ table)

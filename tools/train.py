@@ -110,9 +110,12 @@ def main():
         logger.info(f"auto-scale-lr: lr -> {scaled:g} (batch {batch} / 16)")
 
     # dump the resolved config (reference: mmcv cfg.dump into work_dir,
-    # tools/train.py:198); downstream tools accept it via --config <path>
-    from openpvsg_tpu.config import save_config
-    save_config(cfg, os.path.join(work_dir, "config.json"))
+    # tools/train.py:198); downstream tools accept it via --config <path>.
+    # Process 0 only: concurrent truncate+rewrite of the shared work_dir
+    # file can expose a partial file to racing readers (ADVICE r2).
+    if _jax.process_index() == 0:
+        from openpvsg_tpu.config import save_config
+        save_config(cfg, os.path.join(work_dir, "config.json"))
 
     trainer = SegmenterTrainer(cfg.model, cfg.train, mesh=mesh,
                                steps_per_epoch=steps_per_epoch,
