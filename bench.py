@@ -46,6 +46,14 @@ def _run():
 
     cfg = mask2former_vps().model
     on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        # serving default (SegmenterInference): fused stride-4 FPN Pallas
+        # kernel (ops/pallas/fpn_kernel.py, r3)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, pixel_decoder=dataclasses.replace(cfg.pixel_decoder,
+                                                   fused_fpn=True))
     # PVSG eval resolution (360, 480) padded to /32 -> (384, 480);
     # CPU fallback uses a small shape so the bench still runs anywhere.
     if on_tpu:

@@ -46,6 +46,10 @@ class PixelDecoderConfig:
     num_points: int = 4
     ffn_channels: int = 1024
     num_groups: int = 32  # GN groups
+    # serve the stride-4 FPN chain (lateral+GN+3x3+GN+mask_feature) as the
+    # fused Pallas kernel (ops/pallas/fpn_kernel.py) — inference-only (no
+    # VJP); SegmenterInference turns it on automatically on TPU
+    fused_fpn: bool = False
 
 
 @dataclass(frozen=True)

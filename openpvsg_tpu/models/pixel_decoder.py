@@ -210,6 +210,38 @@ class MSDeformAttnPixelDecoder(nn.Module):
         # outs = [stride32, stride16, stride8]
 
         # --- FPN fusion with remaining lower-stride levels (stride 4)
+        if (cfg.fused_fpn and not self.is_initializing()
+                and n_in - n_enc == 1
+                and feats[0].shape[1] % 8 == 0):
+            # serving path: the whole stride-4 chain as the fused Pallas
+            # kernel (ops/pallas/fpn_kernel.py — VERDICT r2 #5; measured
+            # 1.20 -> 0.80 ms/window standalone). Params are read from the
+            # SAME flax submodules the unfused branch declares (created at
+            # init, which always takes the unfused branch), so checkpoints
+            # are interchangeable. Inference-only: pallas_call has no VJP.
+            import jax as _jax
+
+            from openpvsg_tpu.ops.pallas.fpn_kernel import fused_fpn_stride4
+
+            pv = self.variables["params"]
+            p = {
+                "w_lat": pv["lateral_conv_0"]["conv"]["kernel"],
+                "b_lat": pv["lateral_conv_0"]["conv"]["bias"],
+                "gn1_scale": pv["lateral_conv_0"]["gn"]["scale"],
+                "gn1_bias": pv["lateral_conv_0"]["gn"]["bias"],
+                "w_out": pv["output_conv_0"]["conv"]["kernel"],
+                "b_out": pv["output_conv_0"]["conv"]["bias"],
+                "gn2_scale": pv["output_conv_0"]["gn"]["scale"],
+                "gn2_bias": pv["output_conv_0"]["gn"]["bias"],
+                "w_mask": pv["mask_feature"]["kernel"],
+                "b_mask": pv["mask_feature"]["bias"],
+            }
+            mask_feature = fused_fpn_stride4(
+                feats[0], outs[-1], p, num_groups=cfg.num_groups,
+                compute_dtype=self.dtype,
+                interpret=_jax.default_backend() == "cpu")
+            return mask_feature, outs[:cfg.num_outs]
+
         y = outs[-1]
         for i in range(n_in - n_enc - 1, -1, -1):
             lateral = ConvGN(C, kernel=1, num_groups=cfg.num_groups,

@@ -1,56 +1,59 @@
 """Fused stride-4 FPN chain as Pallas TPU kernels (PERF.md floor analysis;
 VERDICT r2 #5).
 
-The chain (models/pixel_decoder.py:213-225, reference
+The chain (models/pixel_decoder.py FPN loop, reference
 mask2former/msdeformattn_pixel_decoder mmdet semantics):
 
-    x1 = lateral_1x1(f0) + bilinear_up_2x(s8)
-    h  = relu?no -> GN1(x1)                      (affine)
-    x2 = conv3x3(h)                               (zero pad)
-    y  = relu(GN2(x2))
-    out = mask_1x1(y)
+    l   = GN1(lateral_1x1(f0))            # ConvGN, act=False
+    x1  = l + bilinear_up_2x(s8)
+    x2  = relu(GN2(conv3x3(x1)))          # ConvGN, act=True, zero pad
+    out = mask_1x1(x2)
+
+NOTE the normalization applies to the LATERAL only, before the upsample add
+(an earlier draft normalized the sum — 1.7 max-abs wrong vs the module).
 
 Three pallas_call launches, tiled over (batch, H-tiles):
-  K1: lateral matmul + phase-decomposed 2x bilinear (vertical via a banded
-      interp matmul, horizontal via shifted-slice blend + interleave) ->
-      writes x1 and accumulates per-channel GN1 sums/sumsq.
-  K2: reads x1 (+ one halo ROW above/below via 1-row BlockSpecs — zeroed at
-      image borders to match the conv's zero padding), applies the
-      GN1 affine folded to per-channel scale/bias, 3x3 conv as 9 shifted
-      (TH*W, C) x (C, C) matmuls on the MXU -> writes x2 + GN2 sums.
+  K1: lateral 1x1 matmul -> writes l_raw and accumulates its per-channel
+      GN1 sums/sumsq.
+  K2: GN1 affine (folded per-channel scale/bias) on l_raw (+ one halo ROW
+      above/below via 1-row BlockSpecs), + 2x bilinear upsample computed
+      in-kernel for the tile AND halo rows (vertical via banded interp
+      matmuls over the full resident s8 plane, horizontal via shifted-slice
+      blend + interleave), halo rows zeroed at image borders to match the
+      conv's zero padding, then the 3x3 conv as 9 shifted (TH*W, C) x (C, C)
+      MXU matmuls -> writes x2 + GN2 sums.
   K3: GN2 affine + relu + mask 1x1 matmul -> mask_feature.
 
-Group statistics are finalized BETWEEN launches in plain jnp (tiny (B, C)
-tensors) and folded into per-channel scale/bias, so the kernels never see a
-cross-tile reduction barrier. The 3x3 conv runs exactly ONCE — it is
-FLOP-bound (~276 us of the 311 us fusion at serving shapes), so any design
-that recomputes it to avoid materializing x1 loses.
+Group statistics finalize BETWEEN launches in plain jnp (tiny (B, C)
+tensors) folded into per-channel scale/bias, so the kernels never see a
+cross-tile reduction barrier; the FLOP-bound 3x3 conv runs exactly once.
 
 Weights layout matches flax: conv kernels (kh, kw, Cin, Cout), GroupNorm
 eps 1e-6, groups over adjacent channels.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
-def _vertical_interp_mats(H: int, TH: int) -> np.ndarray:
-    """Banded matrices U[i] (TH, H//2): out rows of tile i from stride-8
-    rows, align_corners=False 2x (even r=2k: 0.25*in[k-1]+0.75*in[k];
-    odd: 0.75*in[k]+0.25*in[k+1]; clamped)."""
+def _vertical_interp_mats_ext(H: int, TH: int) -> np.ndarray:
+    """Banded matrices U[i] (TH + 2, H//2) producing stride-4 rows
+    [i*TH - 1, i*TH + TH] (clamped) of the 2x align_corners=False upsample
+    from stride-8 rows: even r=2k: 0.25*in[k-1] + 0.75*in[k]; odd:
+    0.75*in[k] + 0.25*in[k+1]; edges clamped. The two extra rows feed the
+    3x3 conv halo (image-border halo rows are zeroed in-kernel, so their
+    clamped values are inert)."""
     H8 = H // 2
     n_tiles = H // TH
-    U = np.zeros((n_tiles, TH, H8), np.float32)
+    U = np.zeros((n_tiles, TH + 2, H8), np.float32)
     for i in range(n_tiles):
-        for t in range(TH):
-            r = i * TH + t
+        for t in range(TH + 2):
+            r = min(max(i * TH - 1 + t, 0), H - 1)
             k = r // 2
             if r % 2 == 0:
                 U[i, t, max(k - 1, 0)] += 0.25
@@ -62,18 +65,18 @@ def _vertical_interp_mats(H: int, TH: int) -> np.ndarray:
 
 
 def _hblend(x):
-    """Horizontal 2x bilinear on the second-to-last axis pair:
-    (TH, W8, C) -> (TH, 2*W8, C)."""
+    """Horizontal 2x bilinear on the middle axis: (R, W8, C) -> (R, 2*W8, C)
+    (align_corners=False phase weights 0.25/0.75, edges clamped)."""
     left = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
     right = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
     even = 0.25 * left + 0.75 * x
     odd = 0.75 * x + 0.25 * right
-    TH, W8, C = x.shape
-    return jnp.stack([even, odd], axis=2).reshape(TH, 2 * W8, C)
+    R, W8, C = x.shape
+    return jnp.stack([even, odd], axis=2).reshape(R, 2 * W8, C)
 
 
 def _group_affine(sums, sumsqs, scale, bias, count, num_groups, eps):
-    """(B, C) channel sums -> per-channel (B, C) scale'/bias' folding the
+    """(B, C) channel sums -> per-channel (B, 1, C) scale'/bias' folding the
     group normalization: y = x * scale' + bias'."""
     B, C = sums.shape
     cg = C // num_groups
@@ -84,12 +87,14 @@ def _group_affine(sums, sumsqs, scale, bias, count, num_groups, eps):
     rstd = jax.lax.rsqrt(var + eps)
     mean_c = jnp.repeat(mean, cg, axis=1)
     rstd_c = jnp.repeat(rstd, cg, axis=1)
-    return rstd_c * scale[None, :], bias[None, :] - mean_c * rstd_c * scale[None, :]
+    sc = rstd_c * scale[None, :]
+    bi = bias[None, :] - mean_c * sc
+    return sc[:, None], bi[:, None]
 
 
 def fused_fpn_stride4(f0: jnp.ndarray, s8: jnp.ndarray, p: Dict[str, jnp.ndarray],
                       num_groups: int = 32, eps: float = 1e-6,
-                      tile_h: int = 16, compute_dtype=jnp.float32,
+                      tile_h: int = 8, compute_dtype=jnp.float32,
                       interpret: bool = False) -> jnp.ndarray:
     """f0 (B, H, W, Cin) stride-4 backbone feats, s8 (B, H/2, W/2, C)
     encoder stride-8 output -> mask_feature (B, H, W, Cout).
@@ -103,85 +108,90 @@ def fused_fpn_stride4(f0: jnp.ndarray, s8: jnp.ndarray, p: Dict[str, jnp.ndarray
     assert H % tile_h == 0, (H, tile_h)
     nH = H // tile_h
     TH = tile_h
-    w_lat = p["w_lat"].reshape(Cin, C)
-    w_mask = p["w_mask"].reshape(C, -1)
-    Cout = w_mask.shape[-1]
-    w_out = p["w_out"]                     # (3, 3, C, C)
     cd = compute_dtype
+    # blocks land in VMEM at the HBM dtype — cast everything the kernels
+    # stream to the compute dtype HERE (f32 blocks at serving shapes blow
+    # the 16 MB scoped-vmem budget)
+    f0 = f0.astype(cd)
+    s8 = s8.astype(cd)
+    w_lat = p["w_lat"].reshape(Cin, C).astype(cd)
+    w_mask = p["w_mask"].reshape(C, -1).astype(cd)
+    Cout = w_mask.shape[-1]
+    w_out = p["w_out"].astype(cd)          # (3, 3, C, C)
 
-    U = jnp.asarray(_vertical_interp_mats(H, TH))    # (nH, TH, H/2)
+    U = jnp.asarray(_vertical_interp_mats_ext(H, TH), cd)  # (nH, TH+2, H/2)
 
-    # ---------------- K1: x1 = lateral + upsample; GN1 channel sums
-    def k1(f0_t, s8_full, u_t, wl, bl, x1_out, s_out, sq_out):
-        x = f0_t[0].astype(cd)                        # (TH, W, Cin)
-        lat = jnp.dot(x.reshape(TH * W, Cin), wl[...].astype(cd),
+    # -------- K1: l_raw = lateral 1x1 conv; GN1 channel sums over l_raw
+    def k1(f0_t, wl, bl, l_out, s_out, sq_out):
+        x = f0_t[0]                                   # (TH, W, Cin) cd
+        lat = jnp.dot(x.reshape(TH * W, Cin), wl[...],
                       preferred_element_type=jnp.float32)
         lat = lat.reshape(TH, W, C) + bl[...].astype(jnp.float32)
-        s8_ = s8_full[0].astype(jnp.float32)          # (H8, W8, C)
-        H8, W8, _ = s8_.shape
-        vert = jnp.dot(u_t[0], s8_.reshape(H8, W8 * C),
-                       preferred_element_type=jnp.float32)
-        up = _hblend(vert.reshape(TH, W8, C))         # (TH, W, C)
-        x1 = lat + up
-        x1_out[0] = x1.astype(x1_out.dtype)
+        l_out[0] = lat.astype(l_out.dtype)
 
         @pl.when(pl.program_id(1) == 0)
         def _():
             s_out[...] = jnp.zeros_like(s_out)
             sq_out[...] = jnp.zeros_like(sq_out)
 
-        s_out[0] += x1.sum(axis=(0, 1))
-        sq_out[0] += (x1 * x1).sum(axis=(0, 1))
+        s_out[0, 0] += lat.sum(axis=(0, 1))
+        sq_out[0, 0] += (lat * lat).sum(axis=(0, 1))
 
-    x1, s1, sq1 = pl.pallas_call(
+    l_raw, s1, sq1 = pl.pallas_call(
         k1,
         grid=(B, nH),
         in_specs=[
             pl.BlockSpec((1, TH, W, Cin), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, H // 2, W // 2, C), lambda b, i: (b, 0, 0, 0)),
-            pl.BlockSpec((1, TH, H // 2), lambda b, i: (i, 0, 0)),
             pl.BlockSpec((Cin, C), lambda b, i: (0, 0)),
             pl.BlockSpec((C,), lambda b, i: (0,)),
         ],
         out_specs=[
             pl.BlockSpec((1, TH, W, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, C), cd),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
-    )(f0, s8, U, w_lat, p["b_lat"])
+    )(f0, w_lat, p["b_lat"])
 
-    sc1, bi1 = _group_affine(s1, sq1, p["gn1_scale"], p["gn1_bias"],
-                             H * W * (C // num_groups), num_groups, eps)
+    sc1, bi1 = _group_affine(s1[:, 0], sq1[:, 0], p["gn1_scale"],
+                             p["gn1_bias"], H * W * (C // num_groups),
+                             num_groups, eps)
 
-    # ---------------- K2: GN1 affine + 3x3 conv; GN2 channel sums
-    def k2(x1_t, x1_top, x1_bot, sc, bi, wo, bo, x2_out, s_out, sq_out):
+    # -------- K2: GN1 affine + upsample add + 3x3 conv; GN2 channel sums
+    def k2(l_t, l_top, l_bot, s8_full, u_t, sc, bi, wo, bo,
+           x2_out, s_out, sq_out):
         i = pl.program_id(1)
-        scale = sc[0].astype(jnp.float32)
-        bias = bi[0].astype(jnp.float32)
-        top = jnp.where(i > 0, x1_top[0, 0].astype(jnp.float32), 0.0)
-        bot = jnp.where(i < nH - 1, x1_bot[0, 0].astype(jnp.float32), 0.0)
-        mid = x1_t[0].astype(jnp.float32)
-        xn = jnp.concatenate([top[None], mid, bot[None]], axis=0)
-        xn = xn * scale + bias
-        # zero-pad the halo rows at image borders AFTER the affine (the
-        # conv's zero padding is on the normalized tensor)
-        border = jnp.where(i > 0, 1.0, 0.0)
+        scale = sc[0, 0].astype(jnp.float32)
+        bias = bi[0, 0].astype(jnp.float32)
+        # x1 rows [i*TH-1, i*TH+TH]: normalized lateral + upsample
+        lat_ext = jnp.concatenate(
+            [l_top[0, 0][None], l_t[0], l_bot[0, 0][None]],
+            axis=0).astype(jnp.float32)
+        s8_ = s8_full[0]                              # (H8, W8, C) cd
+        H8, W8, _ = s8_.shape
+        vert = jnp.dot(u_t[0], s8_.reshape(H8, W8 * C),
+                       preferred_element_type=jnp.float32)
+        up = _hblend(vert.reshape(TH + 2, W8, C))     # (TH+2, W, C)
+        xn = lat_ext * scale + bias + up
+        # image-border halo rows are ZERO (the conv's zero padding applies
+        # to x1 itself); Mosaic has no scatter and no multi-minor-dim
+        # broadcast, so rebuild with scalar-scaled border rows
+        border_t = jnp.where(i > 0, 1.0, 0.0)
         border_b = jnp.where(i < nH - 1, 1.0, 0.0)
-        xn = xn.at[0].mul(border)
-        xn = xn.at[-1].mul(border_b)
+        xn = jnp.concatenate([xn[:1] * border_t, xn[1:TH + 1],
+                              xn[TH + 1:] * border_b], axis=0)
         zcol = jnp.zeros((TH + 2, 1, C), jnp.float32)
         xe = jnp.concatenate([zcol, xn, zcol], axis=1).astype(cd)
         acc = jnp.zeros((TH * W, C), jnp.float32)
         for dy in range(3):
             for dx in range(3):
                 patch = xe[dy:dy + TH, dx:dx + W].reshape(TH * W, C)
-                acc += jnp.dot(patch, wo[dy, dx].astype(cd),
+                acc += jnp.dot(patch, wo[dy, dx],
                                preferred_element_type=jnp.float32)
         x2 = acc.reshape(TH, W, C) + bo[...].astype(jnp.float32)
         x2_out[0] = x2.astype(x2_out.dtype)
@@ -191,8 +201,8 @@ def fused_fpn_stride4(f0: jnp.ndarray, s8: jnp.ndarray, p: Dict[str, jnp.ndarray
             s_out[...] = jnp.zeros_like(s_out)
             sq_out[...] = jnp.zeros_like(sq_out)
 
-        s_out[0] += x2.sum(axis=(0, 1))
-        sq_out[0] += (x2 * x2).sum(axis=(0, 1))
+        s_out[0, 0] += x2.sum(axis=(0, 1))
+        sq_out[0, 0] += (x2 * x2).sum(axis=(0, 1))
 
     x2, s2, sq2 = pl.pallas_call(
         k2,
@@ -204,32 +214,35 @@ def fused_fpn_stride4(f0: jnp.ndarray, s8: jnp.ndarray, p: Dict[str, jnp.ndarray
             pl.BlockSpec((1, 1, W, C),
                          lambda b, i: (b, jnp.minimum(i * TH + TH, H - 1),
                                        0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, H // 2, W // 2, C), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, TH + 2, H // 2), lambda b, i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((3, 3, C, C), lambda b, i: (0, 0, 0, 0)),
             pl.BlockSpec((C,), lambda b, i: (0,)),
         ],
         out_specs=[
             pl.BlockSpec((1, TH, W, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, C), cd),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
         ],
         interpret=interpret,
-    )(x1, x1, x1, sc1, bi1, w_out, p["b_out"])
+    )(l_raw, l_raw, l_raw, s8, U, sc1, bi1, w_out, p["b_out"])
 
-    sc2, bi2 = _group_affine(s2, sq2, p["gn2_scale"], p["gn2_bias"],
-                             H * W * (C // num_groups), num_groups, eps)
+    sc2, bi2 = _group_affine(s2[:, 0], sq2[:, 0], p["gn2_scale"],
+                             p["gn2_bias"], H * W * (C // num_groups),
+                             num_groups, eps)
 
-    # ---------------- K3: GN2 affine + relu + mask 1x1
+    # -------- K3: GN2 affine + relu + mask 1x1
     def k3(x2_t, sc, bi, wm, bm, out):
-        y = x2_t[0].astype(jnp.float32) * sc[0] + bi[0]
+        y = x2_t[0].astype(jnp.float32) * sc[0, 0] + bi[0, 0]
         y = jnp.maximum(y, 0.0).astype(cd)
-        m = jnp.dot(y.reshape(TH * W, C), wm[...].astype(cd),
+        m = jnp.dot(y.reshape(TH * W, C), wm[...],
                     preferred_element_type=jnp.float32)
         out[0] = (m.reshape(TH, W, Cout)
                   + bm[...].astype(jnp.float32)).astype(out.dtype)
@@ -239,8 +252,8 @@ def fused_fpn_stride4(f0: jnp.ndarray, s8: jnp.ndarray, p: Dict[str, jnp.ndarray
         grid=(B, nH),
         in_specs=[
             pl.BlockSpec((1, TH, W, C), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
-            pl.BlockSpec((1, C), lambda b, i: (b, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, C), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((C, Cout), lambda b, i: (0, 0)),
             pl.BlockSpec((Cout,), lambda b, i: (0,)),
         ],
@@ -254,7 +267,8 @@ def fused_fpn_stride4(f0: jnp.ndarray, s8: jnp.ndarray, p: Dict[str, jnp.ndarray
 def xla_fpn_stride4(f0, s8, p, num_groups: int = 32, eps: float = 1e-6,
                     compute_dtype=jnp.float32):
     """The unfused reference chain (same math as pixel_decoder's flax
-    modules) for parity testing the kernel."""
+    modules — validated to 0 max-abs against the module composition) for
+    parity testing the kernel."""
     from openpvsg_tpu.ops.resize import resize_bilinear
 
     cd = compute_dtype
@@ -273,11 +287,11 @@ def xla_fpn_stride4(f0, s8, p, num_groups: int = 32, eps: float = 1e-6,
         f0.astype(cd), p["w_lat"].reshape(1, 1, Cin, C).astype(cd),
         (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32) + p["b_lat"]
+    l = gn(lat, p["gn1_scale"], p["gn1_bias"])
     up = resize_bilinear(s8.astype(jnp.float32), f0.shape[1:3])
-    x1 = lat + up
-    h = gn(x1, p["gn1_scale"], p["gn1_bias"])
+    x1 = l + up
     x2 = jax.lax.conv_general_dilated(
-        h.astype(cd), p["w_out"].astype(cd), (1, 1), "SAME",
+        x1.astype(cd), p["w_out"].astype(cd), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32) + p["b_out"]
     y = jnp.maximum(gn(x2, p["gn2_scale"], p["gn2_bias"]), 0.0)

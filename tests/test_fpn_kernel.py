@@ -49,3 +49,39 @@ def test_fused_fpn_single_tile(rng):
     got = np.asarray(fused_fpn_stride4(f0, s8, p, num_groups=G,
                                        tile_h=H, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_segmenter_fused_fpn_matches_unfused(rng):
+    """Model-level integration: SegmenterInference(fused_fpn=True) routes
+    the stride-4 chain through the Pallas kernel (interpret mode on CPU)
+    and reproduces the unfused panoptic results."""
+    from openpvsg_tpu.config import (BackboneConfig, Mask2FormerConfig,
+                                     PixelDecoderConfig,
+                                     TransformerDecoderConfig)
+    from openpvsg_tpu.infer.segmenter import SegmenterInference
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    cfg = Mask2FormerConfig(
+        num_things_classes=3, num_stuff_classes=2, num_queries=4,
+        backbone=BackboneConfig(depth=26),
+        pixel_decoder=PixelDecoderConfig(encoder_layers=1, ffn_channels=32),
+        decoder=TransformerDecoderConfig(num_layers=1, ffn_channels=32),
+        object_mask_thr=0.01, iou_thr=0.1)
+    model = Mask2Former(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 64, 64, 3)))
+    frames = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+
+    seg_ref = SegmenterInference(cfg, variables, fused_fpn=False)
+    seg_fused = SegmenterInference(cfg, variables, fused_fpn=True)
+    assert seg_fused.cfg.pixel_decoder.fused_fpn
+    # compare LOGITS, not pan ids: with random weights the fusion argmax
+    # sits on knife-edge ties that 1e-6 reassociation drift legitimately
+    # flips over whole regions
+    cls_r, masks_r, q_r = seg_ref.forward_frames(frames)
+    cls_f, masks_f, q_f = seg_fused.forward_frames(frames)
+    np.testing.assert_allclose(np.asarray(cls_f), np.asarray(cls_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(masks_f), np.asarray(masks_r),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(q_f), np.asarray(q_r),
+                               atol=1e-4, rtol=1e-4)

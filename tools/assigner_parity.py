@@ -1,10 +1,10 @@
-"""Greedy-vs-Hungarian assigner training parity (VERDICT r1 #5).
+"""Assigner training parity: hungarian (host) vs lapjv (on-device exact,
+the 'auto' TPU default since r3) vs greedy (on-device approximation)
+(VERDICT r1 #5 / r2 weak #3).
 
-On any real TPU the default assigner is the on-device greedy matcher (host
-callbacks do not compile through the axon stack — PERF.md); training quality
-was previously unquantified. This experiment trains the same tiny IPS model
-on identical synthetic batches with each assigner and compares loss curves
-and final PQ, on the CPU mesh where exact Hungarian is available.
+Trains the same tiny IPS model on identical synthetic batches with each
+assigner and compares loss curves and final PQ, on the CPU mesh where the
+host-callback Hungarian is available as ground truth.
 
 Usage: python tools/assigner_parity.py [--steps 120] [--out FILE]
 (runs on CPU regardless of platform: Hungarian needs host callbacks)
@@ -120,6 +120,8 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--out", default="assigner_parity.json")
     p.add_argument("--data-root", default="/tmp/pvsg_assigner_parity")
+    p.add_argument("--only", default=None,
+                   help="internal: run one assigner and emit its fragment")
     args = p.parse_args()
 
     from openpvsg_tpu.data.synthetic import make_dataset
@@ -128,25 +130,52 @@ def main():
         make_dataset(args.data_root, n_train=3, n_val=1, n_frames=10,
                      h=96, w=96, seed=0)
 
-    _, batches = build_batches(args.data_root, args.steps, args.batch, seed=1)
-
-    report = {"steps": args.steps, "batch": args.batch}
-    for assigner in ("hungarian", "greedy"):
-        losses, metrics = run(assigner, batches, args.data_root)
-        report[assigner] = {
+    if args.only:
+        _, batches = build_batches(args.data_root, args.steps, args.batch,
+                                   seed=1)
+        losses, metrics = run(args.only, batches, args.data_root)
+        frag = {
             "loss_first10": round(float(np.mean(losses[:10])), 4),
             "loss_last10": round(float(np.mean(losses[-10:])), 4),
             "loss_curve_every10": [round(l, 3) for l in losses[::10]],
             **{k: round(v, 4) for k, v in metrics.items()},
         }
-        print(assigner, json.dumps(report[assigner]), flush=True)
+        with open(f"{args.out}.{args.only}", "w") as f:
+            json.dump(frag, f)
+        print(args.only, json.dumps(frag), flush=True)
+        return
 
-    h, g = report["hungarian"], report["greedy"]
-    report["delta"] = {
-        "final_loss_rel": round((g["loss_last10"] - h["loss_last10"])
-                                / max(abs(h["loss_last10"]), 1e-9), 4),
-        "pq_abs": round(g.get("PQ", 0.0) - h.get("PQ", 0.0), 4),
-    }
+    import subprocess
+    import sys
+
+    report = {"steps": args.steps, "batch": args.batch}
+    # lapjv (r3): the on-device EXACT assigner that 'auto' now picks on
+    # TPU — expected to track hungarian step-for-step (same optimum, ties
+    # aside), with greedy as the documented approximation. One SUBPROCESS
+    # per assigner: executables leak across in-process runs — a stale
+    # pure_callback (hungarian) executable gets hit by the callback-free
+    # lapjv program and dies with "supplied 631 buffers but compiled
+    # program expected 635" (jax.clear_caches() does not prevent it).
+    for assigner in ("hungarian", "lapjv", "greedy"):
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--only", assigner, "--steps", str(args.steps),
+             "--batch", str(args.batch), "--out", args.out,
+             "--data-root", args.data_root],
+            check=True, env=dict(os.environ, OPENPVSG_PLATFORM="cpu"))
+        with open(f"{args.out}.{assigner}") as f:
+            report[assigner] = json.load(f)
+        os.remove(f"{args.out}.{assigner}")
+
+    h = report["hungarian"]
+    report["delta"] = {}
+    for name in ("lapjv", "greedy"):
+        g = report[name]
+        report["delta"][name] = {
+            "final_loss_rel": round((g["loss_last10"] - h["loss_last10"])
+                                    / max(abs(h["loss_last10"]), 1e-9), 4),
+            "pq_abs": round(g.get("PQ", 0.0) - h.get("PQ", 0.0), 4),
+        }
     print(json.dumps(report["delta"]))
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

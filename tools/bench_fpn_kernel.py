@@ -27,7 +27,7 @@ if os.environ.get("OPENPVSG_PLATFORM"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="fpn_kernel_tpu.json")
-    ap.add_argument("--tile-h", type=int, default=16)
+    ap.add_argument("--tile-h", type=int, default=8)
     args = ap.parse_args()
 
     import jax

@@ -70,11 +70,16 @@ def main():
 
     for epoch in range(epochs):
         order = rng.permutation(len(train_ds))
+        last_res = None
         for step, idx in enumerate(order):
             item = train_ds[int(idx)]
             res = trainer.step(item["feats"], item["relations"])
-            if res and (step + 1) % rel_cfg.accumulation_steps == 0:
-                loss, aux = res
+            # DP mode returns a result only at bucket-queue fills, which
+            # need not align with the accumulation boundary — log the most
+            # recent one at each boundary
+            last_res = res or last_res
+            if last_res and (step + 1) % rel_cfg.accumulation_steps == 0:
+                loss, aux = last_res
                 logger.info(
                     f"epoch {epoch + 1} video {step + 1}: "
                     f"{aux['loss_pair']:.2f}|{aux['loss_prob']:.2f}|"
