@@ -46,9 +46,13 @@ def _run():
 
     cfg = mask2former_vps().model
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        # serving default (SegmenterInference): fused stride-4 FPN Pallas
-        # kernel (ops/pallas/fpn_kernel.py, r3)
+    import os as _os
+    if on_tpu and _os.environ.get("OPENPVSG_BENCH_FUSED_FPN") == "1":
+        # A/B toggle for the fused stride-4 FPN Pallas kernel
+        # (ops/pallas/fpn_kernel.py): standalone it wins 1.46 -> 0.85 ms,
+        # but in-model it measured SLOWER (578 -> 547 f/s) — the pallas
+        # boundary costs XLA's cross-chain fusions more than the kernel
+        # saves, so it is NOT the serving default (see PERF.md r3).
         import dataclasses
 
         cfg = dataclasses.replace(

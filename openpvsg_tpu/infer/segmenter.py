@@ -93,12 +93,15 @@ class SegmenterInference:
             cfg = dataclasses.replace(
                 cfg, backbone=dataclasses.replace(cfg.backbone,
                                                   norm="folded"))
-        # Serving-graph optimization 2: the stride-4 FPN chain as the fused
-        # Pallas kernel (ops/pallas/fpn_kernel.py — measured 1.20 -> 0.80
-        # ms/window standalone on a v5e chip). Default: on for TPU serving,
-        # off on CPU (interpret mode is correctness-only).
+        # Opt-in: the stride-4 FPN chain as the fused Pallas kernel
+        # (ops/pallas/fpn_kernel.py). Standalone it wins 1.46 -> 0.85
+        # ms/window on-chip, but IN-MODEL it measured NET NEGATIVE
+        # (569 -> 556 f/s back-to-back A/B): XLA's cross-chain fusion of
+        # the unfused ops with their neighbors beats the kernel plus its
+        # custom-call boundary. Kept as an opt-in (PERF.md r3 negative
+        # result); default OFF everywhere.
         if fused_fpn is None:
-            fused_fpn = jax.default_backend() != "cpu"
+            fused_fpn = False
         if fused_fpn and not cfg.pixel_decoder.fused_fpn:
             cfg = dataclasses.replace(
                 cfg, pixel_decoder=dataclasses.replace(cfg.pixel_decoder,

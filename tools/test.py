@@ -92,10 +92,13 @@ def main():
                 load_mask(p), objects, dataset.class_index,
                 dataset.num_classes)["gt_panoptic_seg"] for p in masks]
             pred_seq = []
-            for lo in range(0, len(frames), window):
+            # W windows per (frame-sharded) forward; 1 on a single chip
+            # (identical outputs either way — infer_windows_vps)
+            wpb = mesh.shape["data"] if mesh is not None else 1
+            for lo in range(0, len(frames), window * wpb):
                 raw = np.stack([load_frame(p)
-                                for p in frames[lo:lo + window]])
-                outs = seg.infer_window_vps(raw)
+                                for p in frames[lo:lo + window * wpb]])
+                outs = seg.infer_windows_vps(raw, window=window)
                 pred_seq.extend(pan_mm2hb(o["pan_results"],
                                           dataset.num_classes) for o in outs)
             m = window_vpq(pred_seq, gt_seq, dataset.num_classes,
