@@ -48,7 +48,8 @@ class PixelDecoderConfig:
     num_groups: int = 32  # GN groups
     # serve the stride-4 FPN chain (lateral+GN+3x3+GN+mask_feature) as the
     # fused Pallas kernel (ops/pallas/fpn_kernel.py) — inference-only (no
-    # VJP); SegmenterInference turns it on automatically on TPU
+    # VJP). Default OFF everywhere: in-model A/B measured it NET NEGATIVE
+    # (PERF.md r3); opt in here or via SegmenterInference(fused_fpn=True).
     fused_fpn: bool = False
 
 

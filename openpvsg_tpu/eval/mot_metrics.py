@@ -258,33 +258,39 @@ def evaluate_jf(gt_frames: Sequence[FrameMasks],
         v = 1.0 if n_pr == 0 else 0.0
         return {"J": v, "F": v, "J&F": v}
 
-    # J[tr, gt, t] for every (track, gt, timestep), missing masks = empty;
-    # rows >= n_pr are the virtual all-empty padding tracks
+    # Mean-over-timesteps J per (track, gt) pair without materialising the
+    # (n_tr, n_gt, T) tensor (O(tracks^2 x frames) memory on long,
+    # fragmented videos): per-timestep J is 1 for both-absent, 0 for
+    # present-vs-absent, sim for both-present — so
+    #   mean J[p, g] = (sum of both-present sims + #both-absent frames) / T.
+    # Rows >= n_pr are the virtual all-empty padding tracks.
     n_tr = max(n_pr, n_gt)
-    j = np.zeros((n_tr, n_gt, num_t))
+    present_p = np.zeros((n_tr, num_t), bool)
+    present_g = np.zeros((n_gt, num_t), bool)
+    jsum = np.zeros((n_tr, n_gt))
     for t, (gt, pred) in enumerate(zip(gt_frames, pred_frames)):
-        absent_g = np.ones(n_gt, bool)
-        absent_p = np.ones(n_tr, bool)
         for g in gt:
-            absent_g[gid_index[g]] = False
+            present_g[gid_index[g], t] = True
         for p in pred:
-            absent_p[pid_index[p]] = False
-        # empty-vs-empty IoU = 1; any present-vs-absent stays 0
-        j[np.ix_(absent_p, absent_g, [t])] = 1.0
+            present_p[pid_index[p], t] = True
         gids, pids, sim = _frame_similarity(gt, pred)
         for i, g in enumerate(gids):
             for k, p in enumerate(pids):
-                j[pid_index[p], gid_index[g], t] = sim[i, k]
+                jsum[pid_index[p], gid_index[g]] += sim[i, k]
+    both_absent = ((~present_p).astype(np.float64)
+                   @ (~present_g).astype(np.float64).T)
+    jmean = (jsum + both_absent) / num_t
 
     # assignment maximises mean J over timesteps (optim_type='J')
-    ri, ci = native.linear_sum_assignment(-j.mean(axis=2))
+    ri, ci = native.linear_sum_assignment(-jmean)
     inv_p = {v: k for k, v in pid_index.items()}
+    inv_g = {v: k for k, v in gid_index.items()}
 
     js, fs = [], []
     for tr, gi in zip(ri, ci):
-        js.append(float(j[tr, gi, :].mean()))
+        js.append(float(jmean[tr, gi]))
         pid = inv_p.get(tr)          # None for virtual padding rows
-        gid = next(g for g, v in gid_index.items() if v == gi)
+        gid = inv_g[gi]
         f_vals = []
         for gt, pred in zip(gt_frames, pred_frames):
             gmask = gt.get(gid)

@@ -99,13 +99,13 @@ class SegmenterInference:
         # (569 -> 556 f/s back-to-back A/B): XLA's cross-chain fusion of
         # the unfused ops with their neighbors beats the kernel plus its
         # custom-call boundary. Kept as an opt-in (PERF.md r3 negative
-        # result); default OFF everywhere.
-        if fused_fpn is None:
-            fused_fpn = False
-        if fused_fpn and not cfg.pixel_decoder.fused_fpn:
+        # result); default OFF. None = follow cfg.pixel_decoder.fused_fpn;
+        # an explicit True/False overrides the config either way.
+        if (fused_fpn is not None
+                and fused_fpn != cfg.pixel_decoder.fused_fpn):
             cfg = dataclasses.replace(
                 cfg, pixel_decoder=dataclasses.replace(cfg.pixel_decoder,
-                                                       fused_fpn=True))
+                                                       fused_fpn=fused_fpn))
         self.cfg = cfg
         self.model = Mask2Former(cfg, dtype=dtype)
         self.mesh = mesh

@@ -62,6 +62,12 @@ class StreamingPVSG:
         self.relation_interval = relation_interval
         self.num_top_pairs = num_top_pairs
         self.feat_dim = feat_dim
+        if max_history is not None and max_history < window:
+            # a bound below the window would age out every frame the moment
+            # it lands (_flush_window cutoff == frame_id) — an engine that
+            # runs but silently never scores a relation
+            raise ValueError(
+                f"max_history ({max_history}) must be >= window ({window})")
         self.max_history = max_history
 
         self._buf: List[np.ndarray] = []
@@ -121,7 +127,8 @@ class StreamingPVSG:
     # ------------------------------------------------------------------
     def _score_relations(self) -> List[Dict]:
         T = self._frame_id
-        lo = max(0, T - self.max_history) if self.max_history else 0
+        lo = (max(0, T - self.max_history)
+              if self.max_history is not None else 0)
         tids = sorted(self._tubes)
         feats = np.zeros((len(tids), T - lo, self.feat_dim), np.float32)
         for k, tid in enumerate(tids):

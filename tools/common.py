@@ -68,6 +68,18 @@ def init_distributed(args) -> None:
     jax.distributed.initialize(**kwargs)
 
 
+def reject_unused_n_time(args) -> None:
+    """--n-time lives in base_parser so every tool accepts it syntactically,
+    but only tools with a relation-scoring stage (rel_test, rel_test_full,
+    end2end_inference) route it into a (data, time) mesh. Tools that shard
+    only the 'data' axis must fail loudly rather than silently ignore it."""
+    if getattr(args, "n_time", 1) != 1:
+        raise SystemExit(
+            "--n-time > 1 is only meaningful for tools with a relation "
+            "scoring stage (rel_test, rel_test_full, end2end_inference); "
+            "this tool shards only the 'data' axis")
+
+
 def maybe_mesh(min_devices: int = 2, n_time: int = 1):
     """A ('data', 'time') mesh for the tools' frame-/batch-sharded
     inference, or None when only one device is visible. n_time > 1 carves

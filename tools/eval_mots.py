@@ -17,7 +17,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import (base_parser, load_config,
+                          reject_unused_n_time, setup_logging)
 
 
 def main():
@@ -26,6 +27,7 @@ def main():
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--out", default=None, help="write metrics JSON here")
     args = parser.parse_args()
+    reject_unused_n_time(args)
     cfg = load_config(args)
 
     from openpvsg_tpu.data import io as data_io, rle as rle_codec

@@ -8,7 +8,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.common import (base_parser, load_config, maybe_mesh,
-                          partition_videos, setup_logging)
+                          partition_videos, reject_unused_n_time,
+                          setup_logging)
 
 
 def main():
@@ -21,6 +22,7 @@ def main():
     parser.add_argument("--save-images", action="store_true",
                         help="write qualititive/ tracking overlays")
     args = parser.parse_args()
+    reject_unused_n_time(args)
     cfg = load_config(args)
 
     import jax

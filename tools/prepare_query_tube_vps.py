@@ -9,7 +9,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.common import (base_parser, load_config, maybe_mesh,
-                          partition_videos, setup_logging)
+                          partition_videos, reject_unused_n_time,
+                          setup_logging)
 
 
 def main():
@@ -24,6 +25,7 @@ def main():
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--window", type=int, default=None)
     args = parser.parse_args()
+    reject_unused_n_time(args)
     cfg = load_config(args)
 
     import jax

@@ -10,7 +10,8 @@ from concurrent.futures import ProcessPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import (base_parser, load_config,
+                          reject_unused_n_time, setup_logging)
 
 
 def _one(vid_workdir_anno_datadir):
@@ -34,6 +35,7 @@ def main():
     parser.add_argument("--jobs", type=int, default=1)
     parser.add_argument("--skip-existing", action="store_true")
     args = parser.parse_args()
+    reject_unused_n_time(args)
     cfg = load_config(args)
 
     from openpvsg_tpu.data.pvsg import PVSGRelationAnnotation

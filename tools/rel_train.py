@@ -12,7 +12,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, maybe_mesh, setup_logging
+from tools.common import (base_parser, load_config, maybe_mesh,
+                          reject_unused_n_time, setup_logging)
 
 
 def main():
@@ -22,6 +23,7 @@ def main():
     parser.add_argument("--ps-type", default="ips", help="ips | vps")
     parser.add_argument("--epochs", type=int, default=None)
     args = parser.parse_args()
+    reject_unused_n_time(args)
     cfg = load_config(args)
     rel_cfg = cfg.relation
     if args.model_name:

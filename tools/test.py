@@ -13,6 +13,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.common import (base_parser, collect_rank_results, load_config,
+                          reject_unused_n_time,
                           maybe_mesh, partition_videos, setup_logging)
 
 
@@ -24,6 +25,7 @@ def main():
     parser.add_argument("--split", default="val")
     parser.add_argument("--batch-size", type=int, default=8)
     args = parser.parse_args()
+    reject_unused_n_time(args)
     cfg = load_config(args)
 
     import jax

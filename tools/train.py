@@ -14,7 +14,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.common import base_parser, load_config, setup_logging
+from tools.common import (base_parser, load_config, reject_unused_n_time,
+                          setup_logging)
 
 
 def pad_targets(samples, max_instances: int, mask_stride: int = 4):
@@ -65,6 +66,7 @@ def main():
     if args.deterministic:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_gpu_deterministic_ops=true").strip()
+    reject_unused_n_time(args)
     cfg = load_config(args)
 
     import jax
