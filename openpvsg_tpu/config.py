@@ -146,11 +146,15 @@ class RelationHeadConfig:
     """Relation-head hyperparameters (reference: tools/rel_train.py:38-97)."""
     model_name: str = "transformer"  # vanilla | filter | conv | transformer
     d_model: int = 256
+    # capacity knobs, plumbed through RelationModel.from_config; defaults =
+    # the reference's fixed values (base.py:29-37 encoder d256/h8/ff512/L2,
+    # transformer.py:19-26 temporal h4/ff512/L1, convolution.py:43 k5)
     encoder_layers: int = 2
     encoder_heads: int = 8
     encoder_ffn: int = 512
+    temporal_layers: int = 1
     temporal_heads: int = 4
-    temporal_ffn: int = 1024
+    temporal_ffn: int = 512
     num_relations: int = NUM_RELATIONS
     num_top_pairs: int = 100
     max_tubes: int = 100

@@ -201,20 +201,55 @@ class Learnable1DConv(nn.Module):
 
 class RelationModel(nn.Module):
     """Full relation head: subject/object encoders + pair proposal +
-    temporal model, mirroring the 4-model bundle of tools/rel_train.py."""
+    temporal model, mirroring the 4-model bundle of tools/rel_train.py.
+
+    Capacity knobs default to the reference's fixed hyperparameters
+    (base.py:29-37, transformer.py:19-26, convolution.py:43-50), so the
+    default param tree is unchanged; non-default values enable capacity
+    studies (RelationHeadConfig carries them — use `from_config`)."""
     model_name: str = "transformer"
     feature_dim: int = 256
     pair_hidden: int = 1024
     num_relations: int = 57
+    encoder_layers: int = 2
+    encoder_heads: int = 8
+    encoder_ffn: int = 512
+    temporal_layers: int = 1
+    temporal_heads: int = 4
+    temporal_ffn: int = 512
+    conv_kernel: int = 5
     dtype: Any = jnp.float32
 
+    @classmethod
+    def from_config(cls, cfg, model_name: str | None = None,
+                    dtype: Any = jnp.float32) -> "RelationModel":
+        """Build from a RelationHeadConfig, honoring every capacity knob."""
+        return cls(model_name=model_name or cfg.model_name,
+                   feature_dim=cfg.d_model,
+                   num_relations=cfg.num_relations,
+                   encoder_layers=cfg.encoder_layers,
+                   encoder_heads=cfg.encoder_heads,
+                   encoder_ffn=cfg.encoder_ffn,
+                   temporal_layers=getattr(cfg, "temporal_layers", 1),
+                   temporal_heads=cfg.temporal_heads,
+                   temporal_ffn=cfg.temporal_ffn,
+                   conv_kernel=cfg.conv_kernel,
+                   dtype=dtype)
+
     def setup(self):
-        self.subject_encoder = ObjectEncoder(self.feature_dim, dtype=self.dtype)
-        self.object_encoder = ObjectEncoder(self.feature_dim, dtype=self.dtype)
+        self.subject_encoder = ObjectEncoder(
+            self.feature_dim, self.encoder_ffn, self.encoder_heads,
+            self.encoder_layers, dtype=self.dtype)
+        self.object_encoder = ObjectEncoder(
+            self.feature_dim, self.encoder_ffn, self.encoder_heads,
+            self.encoder_layers, dtype=self.dtype)
         self.pair_proposal = PairProposalNetwork(self.feature_dim,
                                                  self.pair_hidden, self.dtype)
         self.temporal = build_relation_model(
-            self.model_name, 2 * self.feature_dim, self.num_relations, self.dtype)
+            self.model_name, 2 * self.feature_dim, self.num_relations,
+            self.dtype, num_layers=self.temporal_layers,
+            num_heads=self.temporal_heads, dim_ff=self.temporal_ffn,
+            kernel_size=self.conv_kernel)
 
     def encode(self, feats, tube_valid=None):
         return (self.subject_encoder(feats, tube_valid),
@@ -239,7 +274,9 @@ class RelationModel(nn.Module):
 
 
 def build_relation_model(name: str, input_dim: int, num_relations: int,
-                         dtype: Any = jnp.float32) -> nn.Module:
+                         dtype: Any = jnp.float32, num_layers: int = 1,
+                         num_heads: int = 4, dim_ff: int = 512,
+                         kernel_size: int = 5) -> nn.Module:
     table: dict[str, Callable[..., nn.Module]] = {
         "vanilla": VanillaModel,
         "filter": HandcraftedFilter,
@@ -248,4 +285,11 @@ def build_relation_model(name: str, input_dim: int, num_relations: int,
     }
     if name not in table:
         raise ValueError(f"Model {name} unsupported")
-    return table[name](input_dim=input_dim, num_relations=num_relations, dtype=dtype)
+    kwargs: dict = {}
+    if name == "transformer":
+        kwargs = dict(num_layers=num_layers, num_heads=num_heads,
+                      dim_ff=dim_ff)
+    elif name == "conv":
+        kwargs = dict(num_layers=num_layers, kernel_size=kernel_size)
+    return table[name](input_dim=input_dim, num_relations=num_relations,
+                       dtype=dtype, **kwargs)

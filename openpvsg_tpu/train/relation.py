@@ -251,9 +251,7 @@ class RelationTrainer:
     def __init__(self, cfg: RelationHeadConfig, relation_count: np.ndarray,
                  rng_seed: int = 0):
         self.cfg = cfg
-        self.model = RelationModel(model_name=cfg.model_name,
-                                   feature_dim=cfg.d_model,
-                                   num_relations=cfg.num_relations)
+        self.model = RelationModel.from_config(cfg)
         self.rng = random.Random(rng_seed)
         key = jax.random.PRNGKey(rng_seed)
         feats0 = jnp.zeros((TUBE_BUCKETS[0], FRAME_BUCKETS[0], cfg.d_model))

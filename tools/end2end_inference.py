@@ -94,9 +94,8 @@ def main():
     # --- relation head
     # honor config capacity overrides (--set relation.num_relations=K
     # etc.) — the checkpoint's shapes must match the model's
-    rel_model = RelationModel(model_name=args.model_name,
-                                  feature_dim=cfg.relation.d_model,
-                                  num_relations=cfg.relation.num_relations)
+    rel_model = RelationModel.from_config(cfg.relation,
+                                          model_name=args.model_name)
     if args.relation_checkpoint:
         rel_params = load_relation_params(args.relation_checkpoint,
                                           args.model_name)

@@ -110,9 +110,7 @@ def main():
         rcfg = RelationHeadConfig()
         N, TT, P, R = ((100, 900, 50, rcfg.num_relations) if on_tpu
                        else (20, 128, 10, rcfg.num_relations))
-        model = RelationModel(model_name=rcfg.model_name,
-                              feature_dim=rcfg.d_model,
-                              num_relations=rcfg.num_relations)
+        model = RelationModel.from_config(rcfg)
         feats0 = jnp.zeros((N, TT, rcfg.d_model))
         pair0 = jnp.zeros((P, TT, 2 * rcfg.d_model))
         params = model.init(jax.random.PRNGKey(0), feats0, pair0)["params"]

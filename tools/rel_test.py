@@ -53,9 +53,8 @@ def main():
     ds = PVSGRelationDataset(cfg.data.anno_file, args.split, work_dir)
     # honor config capacity overrides (--set relation.num_relations=K
     # etc.) — the checkpoint's shapes must match the model's
-    model = RelationModel(model_name=args.model_name,
-                              feature_dim=cfg.relation.d_model,
-                              num_relations=cfg.relation.num_relations)
+    model = RelationModel.from_config(cfg.relation,
+                                      model_name=args.model_name)
     params = load_relation_params(args.checkpoint, args.model_name)
 
     mesh = maybe_mesh(n_time=args.n_time)
