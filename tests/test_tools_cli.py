@@ -191,3 +191,34 @@ def test_rel_test_cli_honors_capacity_overrides(tmp_path):
         capture_output=True, text=True, timeout=420, env=env, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-2500:]
     assert "Recall@20" in proc.stdout
+
+
+def test_rel_capacity_study_cli(tmp_path):
+    """make_synthetic_data --style rich --oracle-stage2 -> prepare_rel_set
+    -> rel_capacity_study: the full study chain through the actual CLIs."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENPVSG_PLATFORM="cpu")
+    data = str(tmp_path / "data")
+    work = str(tmp_path / "work")
+    anno = os.path.join(data, "pvsg.json")
+
+    def run(tool, *extra):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", tool), *extra],
+            capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+        assert proc.returncode == 0, (tool, proc.stderr[-2500:])
+        return proc
+
+    run("make_synthetic_data.py", "--out", data, "--style", "rich",
+        "--train-videos", "2", "--val-videos", "1", "--frames", "10",
+        "--size", "64", "96", "--oracle-stage2", work, "--seed", "5")
+    for split in ("train", "val"):
+        run("prepare_rel_set.py", "--data-dir", data, "--anno-file", anno,
+            "--work-dir", work, "--split", split)
+    out = str(tmp_path / "study.json")
+    proc = run("rel_capacity_study.py", "--data-dir", data, "--anno-file",
+               anno, "--work-dir", work, "--variants", "vanilla",
+               "--capacities", "tiny", "--epochs", "1", "--out", out)
+    study = json.loads(open(out).read())
+    assert study["cells"] and study["cells"][0]["variant"] == "vanilla"
+    assert study["cells"][0]["params"] > 0
+    assert "| vanilla | tiny |" in proc.stdout
