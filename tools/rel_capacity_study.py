@@ -55,6 +55,11 @@ def main():
     parser.add_argument("--accum", type=int, default=8,
                         help="accumulation_steps override (the reference's "
                              "32 gives ~1 update/epoch on small sets)")
+    parser.add_argument("--eval-train", action="store_true",
+                        help="also evaluate on the train split (memorization "
+                             "ceiling: low train R@K = the head cannot even "
+                             "fit the mapping; high train / low val = "
+                             "generalization is data-starved)")
     parser.add_argument("--out", default="capacity_study.json")
     args = parser.parse_args()
     reject_unused_n_time(args)
@@ -123,6 +128,18 @@ def main():
             for K in (20, 50, 100):
                 cell[f"R@{K}"] = round(100 * metrics[K]["recall"], 2)
                 cell[f"mR@{K}"] = round(100 * metrics[K]["mean_recall"], 2)
+                # span-insensitive: separates triplet-ranking quality from
+                # span-overlap quality (strict hit needs time-IoU >= 0.5)
+                cell[f"wR@{K}"] = round(100 * metrics[K]["weak_recall"], 2)
+            if args.eval_train:
+                tr = evaluate(
+                    trainer.model, trainer.params,
+                    (train_ds[i] for i in range(len(train_ds))),
+                    rel_cfg.num_top_pairs, train_ds.relations)
+                for K in (20, 50, 100):
+                    cell[f"train_R@{K}"] = round(100 * tr[K]["recall"], 2)
+                    cell[f"train_wR@{K}"] = round(
+                        100 * tr[K]["weak_recall"], 2)
             cells.append(cell)
             logger.info(json.dumps(cell))
 
