@@ -160,6 +160,9 @@ class RelationHeadConfig:
     max_tubes: int = 100
     max_frames: int = 900
     conv_kernel: int = 5
+    # beyond-reference: feed [s, o, s-o, s*o] (not just [s, o]) to the
+    # temporal model — see RelationModel.pair_interaction for rationale
+    pair_interaction: bool = False
     # training
     lr: float = 1e-4
     epochs: int = 100

@@ -218,6 +218,15 @@ class RelationModel(nn.Module):
     temporal_heads: int = 4
     temporal_ffn: int = 512
     conv_kernel: int = 5
+    # beyond-reference (off by default — param tree matches the reference
+    # exactly when False): augment the temporal model's pair input
+    # [s, o] with explicit interaction terms [s - o, s * o]. Motivated by
+    # the rich-synthetic capacity study: every reference head UNDERFITS
+    # pairwise-geometry predicates (train R@K ~ val R@K, both low) because
+    # the MLP must compute pair geometry from concatenated unary features;
+    # difference/product terms make it near-linear. Wire format unchanged —
+    # pair_feats stays (P, T, 2D); augmentation happens inside predict().
+    pair_interaction: bool = False
     dtype: Any = jnp.float32
 
     @classmethod
@@ -234,6 +243,7 @@ class RelationModel(nn.Module):
                    temporal_heads=cfg.temporal_heads,
                    temporal_ffn=cfg.temporal_ffn,
                    conv_kernel=cfg.conv_kernel,
+                   pair_interaction=getattr(cfg, "pair_interaction", False),
                    dtype=dtype)
 
     def setup(self):
@@ -245,8 +255,9 @@ class RelationModel(nn.Module):
             self.encoder_layers, dtype=self.dtype)
         self.pair_proposal = PairProposalNetwork(self.feature_dim,
                                                  self.pair_hidden, self.dtype)
+        in_mult = 4 if self.pair_interaction else 2
         self.temporal = build_relation_model(
-            self.model_name, 2 * self.feature_dim, self.num_relations,
+            self.model_name, in_mult * self.feature_dim, self.num_relations,
             self.dtype, num_layers=self.temporal_layers,
             num_heads=self.temporal_heads, dim_ff=self.temporal_ffn,
             kernel_size=self.conv_kernel)
@@ -259,6 +270,9 @@ class RelationModel(nn.Module):
         return self.pair_proposal(sub_feats, obj_feats, frame_valid)
 
     def predict(self, pair_feats, frame_valid=None):
+        if self.pair_interaction:
+            s, o = jnp.split(pair_feats, 2, axis=-1)
+            pair_feats = jnp.concatenate([pair_feats, s - o, s * o], axis=-1)
         return self.temporal(pair_feats, frame_valid)
 
     def __call__(self, feats, pair_feats=None, tube_valid=None,

@@ -42,6 +42,13 @@ CAPACITIES = {
     "ref": dict(),
     "large": dict(encoder_layers=3, encoder_ffn=1024,
                   temporal_layers=2, temporal_heads=8, temporal_ffn=1024),
+    # beyond-reference pair-interaction input ([s, o, s-o, s*o]); reference
+    # capacity otherwise — isolates the representation change
+    "interact": dict(pair_interaction=True),
+    "interact_large": dict(pair_interaction=True,
+                           encoder_layers=3, encoder_ffn=1024,
+                           temporal_layers=2, temporal_heads=8,
+                           temporal_ffn=1024),
 }
 
 
