@@ -16,6 +16,8 @@ Prints a markdown table and writes a JSON artifact.
 Usage:
   python tools/make_synthetic_data.py --out D --style rich --frames 32 \
       --train-videos 24 --val-videos 8 --size 96 128 --oracle-stage2 W
+  python tools/prepare_rel_set.py --data-dir D --anno-file D/pvsg.json \
+      --work-dir W --split train   # and --split val
   python tools/rel_capacity_study.py --data-dir D --anno-file D/pvsg.json \
       --work-dir W --epochs 40 --out capacity_study.json
 """
@@ -84,6 +86,13 @@ def main():
                                    os.path.join(work_dir, "train_save_qf"))
     val_ds = PVSGRelationDataset(cfg.data.anno_file, "val",
                                  os.path.join(work_dir, "val_save_qf"))
+    if not len(train_ds) or not len(val_ds):
+        raise SystemExit(
+            f"empty relation dataset (train {len(train_ds)}, val "
+            f"{len(val_ds)} videos) — stage-3 outputs missing. Run "
+            f"`python tools/prepare_rel_set.py --data-dir ... --split "
+            f"train` (and val) to produce {{vid}}/relations.pickle under "
+            f"{work_dir}/{{train,val}}_save_qf first.")
     n_rel = len(train_ds.relations)
     logger.info(f"train {len(train_ds)} videos, val {len(val_ds)}, "
                 f"{n_rel} relations: {train_ds.relations}")
