@@ -192,11 +192,27 @@ class SegmenterInference:
         Returns list of {'pan_results': (H, W) mmdet-format, 'query_feats':
         {segment_id: 256-d np.ndarray}} per frame.
         """
+        return self.package_ips(self.infer_frames_ips_async(frames, ori_hw))
+
+    def infer_frames_ips_async(self, frames: np.ndarray,
+                               ori_hw: Optional[Tuple[int, int]] = None):
+        """Dispatch-only half of infer_frames_ips: uploads the batch and
+        enqueues forward + fusion WITHOUT fetching results. Returns an
+        opaque handle for package_ips(). jax dispatch is asynchronous, so
+        keeping >1 handle in flight overlaps batch N+1's H2D + compute
+        with the host-side fetch/tracking of batch N
+        (run_query_tube_ips pipeline_depth)."""
         ori_hw = ori_hw or tuple(frames.shape[1:3])
         cls_logits, mask_logits, query = self.forward_frames(frames)
         masks_up = self.upsample_masks(mask_logits, self._padded_hw(frames))
         masks_up = masks_up[:, :, :ori_hw[0], :ori_hw[1]]
         fusion = self._fuse(cls_logits, masks_up)
+        return fusion, query
+
+    def package_ips(self, handle) -> List[Dict]:
+        """Blocking half of infer_frames_ips: fetch a dispatched handle's
+        device results to host per-frame dicts."""
+        fusion, query = handle
         return self._package(fusion, query)
 
     def infer_window_vps(self, frames: np.ndarray,

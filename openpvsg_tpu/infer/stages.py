@@ -88,10 +88,22 @@ def run_query_tube_ips(
     batch_size: int = 8,
     log_fn=None,
     save_images: bool = False,
+    pipeline_depth: int = 2,
 ) -> int:
     """IPS stage 2 for one video. Returns the number of tubes. Logs running
     fps every 20 frames (the reference's only throughput surface,
-    test_mots_from_mask2former.py:44-49)."""
+    test_mots_from_mask2former.py:44-49).
+
+    pipeline_depth: batches kept in flight on the device. jax dispatch is
+    asynchronous, so decoding + dispatching batch N+1 BEFORE fetching
+    batch N's results overlaps its H2D upload and forward with the host's
+    fetch + tracker work — hides the transfer latency (the dominant cost
+    through a remote-device tunnel; on a local host it overlaps PCIe DMA
+    with tracking). 1 = the strictly serial loop; results are identical at
+    any depth (order is preserved, the tracker still consumes frames
+    sequentially)."""
+    from collections import deque
+
     from openpvsg_tpu.utils.profiling import Timer
 
     timer = Timer()
@@ -99,12 +111,23 @@ def run_query_tube_ips(
     results = []
     frame_id = 0
     total_frames = len(frame_files)
-    for lo in range(0, total_frames, batch_size):
-        timer.tic()
+
+    def dispatch(lo: int):
         paths = frame_files[lo:lo + batch_size]
         raw = [load_frame(p) for p in paths]
         # raw uint8 batch: normalize/pad run inside the forward jit
-        outputs = segmenter.infer_frames_ips(np.stack(raw))
+        return paths, raw, segmenter.infer_frames_ips_async(np.stack(raw))
+
+    offsets = list(range(0, total_frames, batch_size))
+    pending: deque = deque()
+    next_i = 0
+    while next_i < len(offsets) or pending:
+        timer.tic()
+        while next_i < len(offsets) and len(pending) < max(pipeline_depth, 1):
+            pending.append(dispatch(offsets[next_i]))
+            next_i += 1
+        paths, raw, handle = pending.popleft()
+        outputs = segmenter.package_ips(handle)
         for img, out in zip(raw, outputs):
             frame_id += 1
             masks, qfeats = _segments_to_masks(

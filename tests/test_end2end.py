@@ -174,6 +174,41 @@ def test_stage2_produces_valid_outputs(dataset_dir, segmenter, stage, tmp_path):
     assert len(tubes) == n
 
 
+def test_stage2_ips_pipeline_depth_parity(dataset_dir, segmenter, tmp_path):
+    """pipeline_depth only changes dispatch/fetch ordering, never results:
+    depth=3 must produce byte-identical masks.txt and equal tube features
+    to the strictly serial depth=1 loop."""
+    from openpvsg_tpu.data import io as data_io
+    from openpvsg_tpu.data.pvsg import frame_paths
+    from openpvsg_tpu.infer import stages
+    from openpvsg_tpu.tracker.appearance import make_appearance_model
+    from openpvsg_tpu.tracker.tracker import MaskAssociationTracker
+    import jax.numpy as jnp
+
+    frames = frame_paths(dataset_dir, VID, "frames")
+    app = make_appearance_model(depth=26)
+    app_vars = app.init(jax.random.PRNGKey(1), jnp.zeros((1, H, W, 3)))
+
+    outs = {}
+    for depth in (1, 3):
+        save_root = str(tmp_path / f"d{depth}" / VID)
+        tracker = MaskAssociationTracker(
+            TrackerConfig(appearance_depth=26), appearance_variables=app_vars)
+        n = stages.run_query_tube_ips(segmenter, tracker, frames, save_root,
+                                      batch_size=2, pipeline_depth=depth)
+        with open(os.path.join(save_root, "quantitive", "masks.txt"),
+                  "rb") as f:
+            outs[depth] = (n, f.read(), data_io.load_pickle(
+                os.path.join(save_root, "query_feats.pickle")))
+
+    assert outs[1][0] == outs[3][0]
+    assert outs[1][1] == outs[3][1]
+    t1, t3 = outs[1][2], outs[3][2]
+    assert jax.tree.structure(t1) == jax.tree.structure(t3)
+    for a, b in zip(jax.tree.leaves(t1), jax.tree.leaves(t3)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stage3_and_relation_training(dataset_dir, tmp_path):
     """Stage 3 with oracle tubes (GT as predictions) -> relations.pickle ->
     relation dataset -> one training step -> proxy eval."""

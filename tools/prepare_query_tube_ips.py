@@ -19,6 +19,11 @@ def main():
     parser.add_argument("--split", default="train")
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="frame batches kept in flight on the device; "
+                             "overlaps H2D + forward of batch N+1 with the "
+                             "fetch + tracking of batch N (1 = serial; "
+                             "results identical at any depth)")
     parser.add_argument("--save-images", action="store_true",
                         help="write qualititive/ tracking overlays")
     args = parser.parse_args()
@@ -89,7 +94,8 @@ def main():
         save_root = os.path.join(save_dir, vid)
         n = run_query_tube_ips(seg, tracker, frames, save_root,
                                batch_size=args.batch_size,
-                               save_images=args.save_images)
+                               save_images=args.save_images,
+                               pipeline_depth=args.pipeline_depth)
         logger.info(f"{vid}: {len(frames)} frames -> {n} tubes")
 
 

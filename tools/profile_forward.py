@@ -87,6 +87,10 @@ def main():
     p.add_argument("--relation", action="store_true",
                    help="profile the relation-head grad step at the PERF.md "
                         "reference bucket (100 tubes, 900 frames, 50 pairs)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="--train only: override the clip batch size "
+                        "(default 4 on TPU; sweep to measure per-sample "
+                        "amortization of the fixed per-step costs)")
     args = p.parse_args()
 
     import jax
@@ -142,6 +146,8 @@ def main():
         from openpvsg_tpu.train.segmenter import SegmenterTrainer
 
         B, T = (4, 2) if on_tpu else (2, 2)
+        if args.batch:
+            B = args.batch
         cfg = dataclasses.replace(
             cfg, backbone=dataclasses.replace(
                 cfg.backbone,
