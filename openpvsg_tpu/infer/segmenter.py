@@ -280,9 +280,31 @@ class SegmenterInference:
         last window may be ragged). chain_windows / prev_embds as in
         minvis_stitch; returns (per-frame outputs, last aligned embds).
         """
+        return self.finish_windows_vps(
+            self.infer_windows_vps_async(frames, ori_hw), window,
+            prev_embds=prev_embds, chain_windows=chain_windows,
+            return_embds=return_embds)
+
+    def infer_windows_vps_async(self, frames: np.ndarray,
+                                ori_hw: Optional[Tuple[int, int]] = None):
+        """Dispatch-only half of infer_windows_vps: upload + forward the
+        window batch without fetching. The MinVIS stitch (and the
+        cross-window embedding chain) only constrains finish_windows_vps —
+        the FORWARD has no sequential dependency, so batch N+1's forward
+        can run while batch N is stitched/fetched host-side
+        (run_query_tube_vps pipeline_depth)."""
         ori_hw = ori_hw or tuple(frames.shape[1:3])
-        n = frames.shape[0]
         cls_logits, mask_logits, query = self.forward_frames(frames)
+        return cls_logits, mask_logits, query, self._padded_hw(frames), ori_hw
+
+    def finish_windows_vps(self, handle, window: int,
+                           prev_embds: Optional[np.ndarray] = None,
+                           chain_windows: bool = False,
+                           return_embds: bool = False):
+        """Blocking half of infer_windows_vps: fetch the query embeddings,
+        run the (sequential) MinVIS stitch, then align+fuse+package."""
+        cls_logits, mask_logits, query, padded_hw, ori_hw = handle
+        n = cls_logits.shape[0]
         embds = np.asarray(query)
         Q = embds.shape[1]
         perms = np.zeros((n, Q), np.int32)
@@ -297,7 +319,7 @@ class SegmenterInference:
         n_win = int(win_id[-1]) + 1
         fusion, query_a = self._align_fuse(
             cls_logits, mask_logits, query, jnp.asarray(perms),
-            jnp.asarray(win_id), n_win, self._padded_hw(frames), ori_hw)
+            jnp.asarray(win_id), n_win, padded_hw, ori_hw)
         outputs = self._package(fusion, query_a)
         if return_embds:
             return outputs, np.asarray(query_a[-1])

@@ -166,6 +166,7 @@ def run_query_tube_vps(
     save_images: bool = False,
     chain_windows: bool = False,
     windows_per_batch: Optional[int] = None,
+    pipeline_depth: int = 2,
 ) -> int:
     """VPS stage 2 for one video: tube identity from panoptic segment ids
     (reference: concat_seq — no tracker needed).
@@ -179,7 +180,14 @@ def run_query_tube_vps(
     forward — identical results to the serial loop (VERDICT r2 weak #1).
     Default: one window per data-axis device when the segmenter has a mesh
     (all chips busy), else 1 (single-chip per-frame cost RISES with batch —
-    PERF.md window-batch sweep)."""
+    PERF.md window-batch sweep).
+
+    pipeline_depth: window batches kept in flight. Only the MinVIS stitch
+    is sequential (and only via the host-side embedding chain), so batch
+    N+1's upload + forward dispatch BEFORE batch N's fetch/stitch —
+    identical results at any depth, chained or not."""
+    from collections import deque
+
     if windows_per_batch is None:
         windows_per_batch = (segmenter.mesh.shape["data"]
                              if segmenter.mesh is not None else 1)
@@ -188,13 +196,23 @@ def run_query_tube_vps(
     object_list: List[int] = []
     feat_tubes: Dict[int, Dict[int, Dict]] = {}
 
-    frame_id = 0
-    prev_embds = None
-    for lo in range(0, total_frames, window * windows_per_batch):
+    def dispatch(lo: int):
         paths = frame_files[lo:lo + window * windows_per_batch]
         raw = [load_frame(p) for p in paths]
-        outputs, prev_embds = segmenter.infer_windows_vps(
-            np.stack(raw), window=window, prev_embds=prev_embds,
+        return raw, segmenter.infer_windows_vps_async(np.stack(raw))
+
+    offsets = list(range(0, total_frames, window * windows_per_batch))
+    pending: deque = deque()
+    next_i = 0
+    frame_id = 0
+    prev_embds = None
+    while next_i < len(offsets) or pending:
+        while next_i < len(offsets) and len(pending) < max(pipeline_depth, 1):
+            pending.append(dispatch(offsets[next_i]))
+            next_i += 1
+        raw, handle = pending.popleft()
+        outputs, prev_embds = segmenter.finish_windows_vps(
+            handle, window, prev_embds=prev_embds,
             chain_windows=chain_windows, return_embds=True)
         if not chain_windows:
             prev_embds = None

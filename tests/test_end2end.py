@@ -209,6 +209,29 @@ def test_stage2_ips_pipeline_depth_parity(dataset_dir, segmenter, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("chain", [False, True])
+def test_stage2_vps_pipeline_depth_parity(dataset_dir, segmenter, chain,
+                                          tmp_path):
+    """VPS pipeline_depth must not change results even when the MinVIS
+    alignment is chained across windows (the chain constrains only the
+    host-side stitch, never the dispatched forward)."""
+    from openpvsg_tpu.data import io as data_io
+    from openpvsg_tpu.data.pvsg import frame_paths
+    from openpvsg_tpu.infer import stages
+
+    frames = frame_paths(dataset_dir, VID, "frames")
+    outs = {}
+    for depth in (1, 3):
+        save_root = str(tmp_path / f"c{chain}_d{depth}" / VID)
+        n = stages.run_query_tube_vps(segmenter, frames, save_root, window=2,
+                                      chain_windows=chain,
+                                      pipeline_depth=depth)
+        with open(os.path.join(save_root, "quantitive", "masks.txt"),
+                  "rb") as f:
+            outs[depth] = (n, f.read())
+    assert outs[1] == outs[3]
+
+
 def test_stage3_and_relation_training(dataset_dir, tmp_path):
     """Stage 3 with oracle tubes (GT as predictions) -> relations.pickle ->
     relation dataset -> one training step -> proxy eval."""

@@ -24,6 +24,11 @@ def main():
                              "(stronger than the reference's raw-id rule)")
     parser.add_argument("--videos", nargs="*", default=None)
     parser.add_argument("--window", type=int, default=None)
+    parser.add_argument("--pipeline-depth", type=int, default=2,
+                        help="window batches kept in flight on the device; "
+                             "overlaps batch N+1's upload+forward with "
+                             "batch N's fetch + MinVIS stitch (1 = serial; "
+                             "results identical at any depth)")
     args = parser.parse_args()
     reject_unused_n_time(args)
     cfg = load_config(args)
@@ -71,7 +76,8 @@ def main():
         save_root = os.path.join(save_dir, vid)
         n = run_query_tube_vps(seg, frames, save_root, window=window,
                                save_images=args.save_images,
-                               chain_windows=args.chain_windows)
+                               chain_windows=args.chain_windows,
+                               pipeline_depth=args.pipeline_depth)
         logger.info(f"{vid}: {len(frames)} frames -> {n} tubes")
 
 
