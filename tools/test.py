@@ -95,12 +95,22 @@ def main():
                 dataset.num_classes)["gt_panoptic_seg"] for p in masks]
             pred_seq = []
             # W windows per (frame-sharded) forward; 1 on a single chip
-            # (identical outputs either way — infer_windows_vps)
+            # (identical outputs either way — infer_windows_vps). Two
+            # window batches in flight: batch N+1's upload+forward
+            # overlaps batch N's fetch + pan_mm2hb host work.
+            from collections import deque
+
             wpb = mesh.shape["data"] if mesh is not None else 1
-            for lo in range(0, len(frames), window * wpb):
-                raw = np.stack([load_frame(p)
-                                for p in frames[lo:lo + window * wpb]])
-                outs = seg.infer_windows_vps(raw, window=window)
+            offsets = list(range(0, len(frames), window * wpb))
+            pending, next_i = deque(), 0
+            while next_i < len(offsets) or pending:
+                while next_i < len(offsets) and len(pending) < 2:
+                    lo = offsets[next_i]
+                    raw = np.stack([load_frame(p)
+                                    for p in frames[lo:lo + window * wpb]])
+                    pending.append(seg.infer_windows_vps_async(raw))
+                    next_i += 1
+                outs = seg.finish_windows_vps(pending.popleft(), window)
                 pred_seq.extend(pan_mm2hb(o["pan_results"],
                                           dataset.num_classes) for o in outs)
             m = window_vpq(pred_seq, gt_seq, dataset.num_classes,
@@ -135,9 +145,20 @@ def main():
     indices = partition_videos(range(len(dataset)))
     results = []
     bs = args.batch_size
-    for lo in range(0, len(indices), bs):
-        frames = [dataset[i]["img"] for i in indices[lo:lo + bs]]
-        outs = seg.infer_frames_ips(np.stack(frames))
+    # two batches in flight: batch N+1's dataset decode + upload + forward
+    # overlaps batch N's fetch (see run_query_tube_ips pipeline_depth)
+    from collections import deque
+
+    offsets = list(range(0, len(indices), bs))
+    pending, next_i = deque(), 0
+    while next_i < len(offsets) or pending:
+        while next_i < len(offsets) and len(pending) < 2:
+            lo = offsets[next_i]
+            frames = [dataset[i]["img"] for i in indices[lo:lo + bs]]
+            pending.append((lo, seg.infer_frames_ips_async(np.stack(frames))))
+            next_i += 1
+        lo, handle = pending.popleft()
+        outs = seg.package_ips(handle)
         results.extend(o["pan_results"] for o in outs)
         if lo % (bs * 20) == 0:
             logger.info(f"{lo}/{len(indices)}")
