@@ -158,6 +158,10 @@ def main():
                         100 * tr[K]["weak_recall"], 2)
             cells.append(cell)
             logger.info(json.dumps(cell))
+            # stream cells as they finish: a killed/timed-out run keeps
+            # every completed cell (the grid takes hours at full size)
+            with open(args.out + ".partial.jsonl", "a") as f:
+                f.write(json.dumps(cell) + "\n")
 
     # markdown table, grouped by variant
     hdr = ("| variant | capacity | params | loss 1st→last | pairR@20 "
