@@ -222,3 +222,7 @@ def test_rel_capacity_study_cli(tmp_path):
     assert study["cells"] and study["cells"][0]["variant"] == "vanilla"
     assert study["cells"][0]["params"] > 0
     assert "| vanilla | tiny |" in proc.stdout
+    # cells stream to <out>.partial.jsonl as they finish, so a killed
+    # run keeps completed cells machine-readable
+    partial = [json.loads(l) for l in open(out + ".partial.jsonl")]
+    assert [c["variant"] for c in partial] == ["vanilla"]
