@@ -122,10 +122,13 @@ def run_query_tube_ips(
     pending: deque = deque()
     next_i = 0
     while next_i < len(offsets) or pending:
-        timer.tic()
         while next_i < len(offsets) and len(pending) < max(pipeline_depth, 1):
             pending.append(dispatch(offsets[next_i]))
             next_i += 1
+        # tic AFTER the dispatch refill: fps is frames-consumed / interval,
+        # so timing the (pipeline_depth)-batch refill against one fetched
+        # batch would under-report during pipeline fill (ADVICE r3)
+        timer.tic()
         paths, raw, handle = pending.popleft()
         outputs = segmenter.package_ips(handle)
         for img, out in zip(raw, outputs):

@@ -224,5 +224,6 @@ def test_rel_capacity_study_cli(tmp_path):
     assert "| vanilla | tiny |" in proc.stdout
     # cells stream to <out>.partial.jsonl as they finish, so a killed
     # run keeps completed cells machine-readable
-    partial = [json.loads(l) for l in open(out + ".partial.jsonl")]
+    with open(out + ".partial.jsonl") as f:
+        partial = [json.loads(l) for l in f]
     assert [c["variant"] for c in partial] == ["vanilla"]

