@@ -1,0 +1,289 @@
+"""Reference-scale stress (VERDICT r3 missing #3): exercise the rebuild at
+the reference's real operating point — ~380-frame videos through stage 2,
+the (100-tube, 900-frame) relation buckets through training + eval, and the
+streaming engine over 2000 frames with max_history=900 — recording compile
+time, HBM high-water, and per-stage throughput.
+
+Reference operating point: ~76 s videos at 5 FPS (≈380 frames), tube
+subsampling to <=100 and frame windows to <=900
+(/root/reference/tools/rel_train.py:61,106-160).
+
+  python tools/stress_reference_scale.py --sections relation,streaming \
+      --out work_dirs/r4/stress.json
+  python tools/stress_reference_scale.py --sections stage2 \
+      --data-dir work_dirs/data_long --anno-file .../pvsg.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tools.common  # noqa: F401  (OPENPVSG_PLATFORM handling)
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def _mem_mb(compiled) -> dict:
+    m = compiled.memory_analysis()
+    return {"hbm_args_mb": round(m.argument_size_in_bytes / 1e6, 1),
+            "hbm_temp_mb": round(m.temp_size_in_bytes / 1e6, 1),
+            "hbm_out_mb": round(m.output_size_in_bytes / 1e6, 1)}
+
+
+def _synthetic_relation_video(rng, n_tubes, t_frames, n_rels, num_relations,
+                              d=256):
+    feats = rng.standard_normal((n_tubes, t_frames, d)).astype(np.float32)
+    rels = []
+    for _ in range(n_rels):
+        s, o = rng.choice(n_tubes, 2, replace=False)
+        span = np.zeros(t_frames)
+        lo = int(rng.integers(0, max(t_frames - 10, 1)))
+        span[lo:lo + int(rng.integers(5, t_frames - lo + 1))] = 1
+        rels.append({"subject_index": int(s), "object_index": int(o),
+                     "relation": int(rng.integers(0, num_relations)),
+                     "relation_span": span})
+    return feats, rels
+
+
+def stress_relation(report, on_tpu):
+    """Grad step + eval forward at the reference's largest buckets."""
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.config import RelationHeadConfig
+    from openpvsg_tpu.eval.rel_eval import evaluate_video
+    from openpvsg_tpu.train.relation import (RelationTrainer, build_batch,
+                                             subsample_video)
+
+    cfg = RelationHeadConfig()  # reference transformer capacity, R=57
+    counts = np.ones(cfg.num_relations)
+    trainer = RelationTrainer(cfg, counts, rng_seed=0)
+    rng = np.random.default_rng(0)
+    out = {}
+    # (tubes, frames, relations): 900-frame cell caps pairs at
+    # 10000//900=11 (reference rel_train.py budget); the 200-frame cell
+    # hits the 50-pair bucket. CPU smoke uses a small cell.
+    cells = (((100, 900, 60), (100, 200, 60)) if on_tpu
+             else ((20, 128, 8),))
+    for n, t, r in cells:
+        feats, rels = _synthetic_relation_video(rng, n, t, r,
+                                                cfg.num_relations)
+        fs, rs, span = subsample_video(feats, rels, cfg,
+                                       trainer.rng)
+        batch = build_batch(fs, rs, span, cfg, trainer.rng)
+        dev_batch = trainer._to_device_batch(batch)
+        cell = {"tube_bucket": batch.feats.shape[0],
+                "frame_bucket": batch.feats.shape[1],
+                "pair_bucket": int(batch.pair_feats.shape[0])}
+        t0 = time.perf_counter()
+        compiled = trainer.grad_step.lower(trainer.params, dev_batch).compile()
+        cell["compile_s"] = round(time.perf_counter() - t0, 1)
+        cell.update(_mem_mb(compiled))
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        cell["gflops"] = round(float(ca.get("flops", 0)) / 1e9, 1)
+
+        # steady step time: K steps chained through the donated accumulator,
+        # forced once (tunnel-safe); short/long difference
+        def run(k):
+            loss = None
+            for _ in range(k):
+                loss, _, grads = trainer.grad_step(trainer.params, dev_batch)
+                trainer._accum = (grads if trainer._accum is None else
+                                  trainer._accum_fn(trainer._accum, grads))
+            return float(loss)
+
+        run(1)
+        deltas = []
+        n_short, n_long = (2, 8) if on_tpu else (1, 2)
+        for _ in range(3 if on_tpu else 1):
+            t0 = time.perf_counter()
+            run(n_short)
+            ts = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            run(n_long)
+            tl = time.perf_counter() - t0
+            deltas.append((tl - ts) / (n_long - n_short))
+        cell["grad_step_ms"] = round(1e3 * float(np.median(deltas)), 1)
+        trainer._accum, trainer._accum_count = None, 0
+
+        # eval-side forward at the same scale (rel_eval buckets T to 1024)
+        t0 = time.perf_counter()
+        pairs, results = evaluate_video(trainer.model, trainer.params,
+                                        feats, num_top_pairs=100)
+        cell["eval_first_call_s"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        evaluate_video(trainer.model, trainer.params, feats,
+                       num_top_pairs=100)
+        cell["eval_steady_s"] = round(time.perf_counter() - t0, 2)
+        cell["eval_results"] = len(results)
+        out[f"N{n}_T{t}"] = cell
+        print(f"relation N={n} T={t}: {cell}", flush=True)
+    report["relation"] = out
+
+
+class _StubSegmenter:
+    """Minimal stand-in driving StreamingPVSG's bookkeeping + relation path
+    without Mask2Former cost: every window reports the same `n_tubes`
+    segments with random 256-d features."""
+
+    def __init__(self, n_tubes, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.n_tubes = n_tubes
+
+    def infer_window_vps(self, frames):
+        outs = []
+        for _ in range(frames.shape[0]):
+            outs.append({
+                "pan_results": np.zeros(frames.shape[1:3], np.int64),
+                "query_feats": {
+                    1000 + k: self.rng.standard_normal(256).astype(np.float32)
+                    for k in range(self.n_tubes)},
+            })
+        return outs
+
+
+def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
+                     max_history=900, interval=32):
+    """StreamingPVSG at scale (VERDICT r3 weak #4 follow-up): per-interval
+    relation latency and flat memory over a long stream."""
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.config import RelationHeadConfig
+    from openpvsg_tpu.infer.streaming import StreamingPVSG
+    from openpvsg_tpu.models.relation.heads import RelationModel
+
+    cfg = RelationHeadConfig()
+    rel_model = RelationModel.from_config(cfg)
+    rel_params = rel_model.init(jax.random.PRNGKey(2),
+                                jnp.zeros((2, 4, 256)),
+                                jnp.zeros((2, 4, 512)))["params"]
+    engine = StreamingPVSG(_StubSegmenter(n_tubes), rel_model, rel_params,
+                           window=4, relation_interval=interval,
+                           num_top_pairs=20, max_history=max_history)
+    frame = np.zeros((64, 64, 3), np.uint8)
+    lat, rss, state_frames = [], [], []
+    t_push0 = time.perf_counter()
+    for i in range(total_frames):
+        t0 = time.perf_counter()
+        out = engine.push(frame)
+        dt = time.perf_counter() - t0
+        if out is not None and out["triplets"] is not None:
+            lat.append(dt)
+            rss.append(_rss_mb())
+            state_frames.append(
+                sum(len(d) for d in engine._tubes.values()))
+    wall = time.perf_counter() - t_push0
+    fin = engine.finish()
+    steady = lat[len(lat) // 2:]
+    report["streaming"] = {
+        "total_frames": total_frames, "n_tubes": n_tubes,
+        "max_history": max_history, "relation_interval": interval,
+        "intervals_scored": len(lat),
+        "first_interval_s": round(lat[0], 2),
+        "steady_interval_ms_median": round(1e3 * float(np.median(steady)), 1),
+        "steady_interval_ms_p90": round(
+            1e3 * float(np.percentile(steady, 90)), 1),
+        "tube_state_frames_max": int(max(state_frames)),
+        "tube_state_bound": n_tubes * max_history,
+        "rss_mb_first": round(rss[0], 1), "rss_mb_last": round(rss[-1], 1),
+        "wall_s": round(wall, 1),
+        "frames_per_sec_incl_stub": round(total_frames / wall, 1),
+        "num_tubes_final": fin["num_tubes"],
+    }
+    print(f"streaming: {report['streaming']}", flush=True)
+
+
+def stress_stage2(report, cfg, videos, on_tpu, window=4, pipeline_depth=2):
+    """Long-video VPS stage 2 on the chip: wall, fps, outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.data.pvsg import PVSGAnnotation, frame_paths
+    from openpvsg_tpu.infer.segmenter import SegmenterInference
+    from openpvsg_tpu.infer.stages import run_query_tube_vps
+    from openpvsg_tpu.models.mask2former import Mask2Former
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = Mask2Former(cfg.model, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 1, 64, 64, 3)))
+    seg = SegmenterInference(cfg.model, variables, dtype=dtype)
+    out = {}
+    work = os.path.join(cfg.data.work_dir, "stress_stage2")
+    for vid in videos:
+        files = frame_paths(cfg.data.data_dir, vid, "frames")
+        if not files:
+            continue
+        t0 = time.perf_counter()
+        n = run_query_tube_vps(seg, files, os.path.join(work, vid),
+                               window=window, pipeline_depth=pipeline_depth)
+        wall = time.perf_counter() - t0
+        out[vid] = {"frames": len(files), "tubes": n,
+                    "wall_s": round(wall, 1),
+                    "fps": round(len(files) / wall, 2)}
+        print(f"stage2 {vid}: {out[vid]}", flush=True)
+    report["stage2"] = out
+
+
+def main():
+    p = argparse.ArgumentParser(description="Reference-scale stress")
+    p.add_argument("--sections", default="relation,streaming",
+                   help="comma list of relation,streaming,stage2")
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--anno-file", default=None)
+    p.add_argument("--work-dir", default="work_dirs")
+    p.add_argument("--videos", nargs="*", default=None)
+    p.add_argument("--frames", type=int, default=2000,
+                   help="streaming: total frames")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    report = {"platform": jax.devices()[0].platform,
+              "device_kind": jax.devices()[0].device_kind}
+    sections = args.sections.split(",")
+    if "relation" in sections:
+        stress_relation(report, on_tpu)
+    if "streaming" in sections:
+        stress_streaming(report, on_tpu,
+                         total_frames=args.frames if on_tpu else 400)
+    if "stage2" in sections:
+        if not (args.data_dir and args.anno_file):
+            raise SystemExit("stage2 needs --data-dir/--anno-file with a "
+                             "long video (tools/make_synthetic_data.py "
+                             "--frames 400)")
+        from openpvsg_tpu.config import mask2former_vps
+        from openpvsg_tpu.data.pvsg import PVSGAnnotation
+
+        cfg = mask2former_vps()
+        from openpvsg_tpu.config import apply_overrides
+        cfg = apply_overrides(cfg, {"data.data_dir": args.data_dir,
+                                    "data.anno_file": args.anno_file,
+                                    "data.work_dir": args.work_dir})
+        anno = PVSGAnnotation(cfg.data.anno_file)
+        videos = args.videos or anno.video_ids("val")
+        stress_stage2(report, cfg, videos, on_tpu)
+
+    print(json.dumps(report, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
