@@ -111,7 +111,7 @@ def measure_infer(cfg, on_tpu: bool):
             "seconds_per_call": sec, **cost}
 
 
-def measure_train(cfg, on_tpu: bool, batch: int = 4):
+def measure_train(cfg, on_tpu: bool, batch: int = 4, n_instances: int = 20):
     import jax
     import jax.numpy as jnp
 
@@ -119,7 +119,7 @@ def measure_train(cfg, on_tpu: bool, batch: int = 4):
 
     if on_tpu:
         T, H, W = cfg.model.num_frames if cfg.model.video else 1, 384, 480
-        N = 40
+        N = n_instances  # 20 = the PERF.md r2/r3 operating point
     else:
         T, H, W = cfg.model.num_frames if cfg.model.video else 1, 96, 128
         N, batch = 4, 2
@@ -202,6 +202,9 @@ def main():
     p.add_argument("--mode", default="both",
                    choices=["infer", "train", "both"])
     p.add_argument("--calibrate", action="store_true")
+    p.add_argument("--train-instances", type=int, default=20,
+                   help="padded GT instances N in the train batch (cost "
+                        "scales with N via the dense QxN loss matrices)")
     p.add_argument("--peak-tflops", type=float, default=None)
     p.add_argument("--peak-gbps", type=float, default=None)
     p.add_argument("--out", default=None)
@@ -242,7 +245,8 @@ def main():
     if args.mode in ("infer", "both"):
         sections.append(("infer", measure_infer(cfg, on_tpu)))
     if args.mode in ("train", "both"):
-        sections.append(("train", measure_train(cfg, on_tpu)))
+        sections.append(("train", measure_train(
+            cfg, on_tpu, n_instances=args.train_instances)))
 
     for name, r in sections:
         sec = r["seconds_per_call"]
