@@ -40,6 +40,7 @@ MESH_MODULES = {
     "test_full_model_parity",  # full-model torch-replica parity
     "test_convert_full",     # full converted-tree forward
     "test_rel_full_protocol",  # protocol oracle over full pipeline
+    "test_packed_cache",     # subprocess pack+train runs, trainer steps
 }
 
 

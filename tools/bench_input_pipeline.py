@@ -39,6 +39,14 @@ def main():
     parser.add_argument("--num-workers", type=int, default=None)
     parser.add_argument("--skip-png", action="store_true",
                         help="skip the PNG-path measurement (slow)")
+    parser.add_argument("--only", default=None,
+                        help="comma list of device,png,packed — run only "
+                             "these sections. NOTE for axon: mixing the "
+                             "f32 and uint8 train-step executables in ONE "
+                             "process panics the tunnel client (same "
+                             "family as the r3 executable-cache collision; "
+                             "see PERF.md r4) — run packed in its own "
+                             "process")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
     reject_unused_n_time(args)
@@ -115,10 +123,12 @@ def main():
         return {"images": imgs, "gt_labels": tgt["gt_labels"],
                 "gt_mask_tubes": mt}
 
+    only = set(args.only.split(",")) if args.only else None
+
     makers = {}
-    if not args.skip_png:
+    if (only is None or "png" in only) and not args.skip_png:
         makers["png"] = (make_sample_png, len(dataset))
-    if args.packed_cache:
+    if args.packed_cache and (only is None or "packed" in only):
         from openpvsg_tpu.data.packed import PackedSampler, PackedTrainCache
         cache = PackedTrainCache(args.packed_cache)
         sampler = PackedSampler(cache, cfg.data, video=video, seed=seed)
@@ -161,7 +171,13 @@ def main():
                "platform": jax.devices()[0].platform}
 
     # --- device-only: one staged batch reused every step -------------------
-    mk, n = next(iter(makers.values()))
+    if makers:
+        mk, n = next(iter(makers.values()))
+    else:  # --only device with --skip-png: stage from the packed cache
+        from openpvsg_tpu.data.packed import PackedSampler, PackedTrainCache
+        _c = PackedTrainCache(args.packed_cache)
+        _s = PackedSampler(_c, cfg.data, video=video, seed=seed)
+        mk, n = (lambda i: _s(int(i))), len(_s)
     samples = []
     i = 0
     while len(samples) < batch and i < n:
@@ -172,28 +188,31 @@ def main():
     while len(samples) < batch:
         samples.append(samples[len(samples) % max(len(samples), 1)])
     staged = collate(samples)
-    for _ in range(args.warmup):
-        logs = trainer.step(staged, key)
-    float(logs["loss"])
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        logs = trainer.step(staged, key)
-    float(logs["loss"])
-    dev_s = time.perf_counter() - t0
-    results["device_only_ms_per_step"] = round(1e3 * dev_s / args.steps, 2)
-    logger.info(f"device-only: {results['device_only_ms_per_step']} ms/step")
+    if only is None or "device" in only:
+        for _ in range(args.warmup):
+            logs = trainer.step(staged, key)
+        float(logs["loss"])
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            logs = trainer.step(staged, key)
+        float(logs["loss"])
+        dev_s = time.perf_counter() - t0
+        results["device_only_ms_per_step"] = round(
+            1e3 * dev_s / args.steps, 2)
+        logger.info(
+            f"device-only: {results['device_only_ms_per_step']} ms/step "
+            f"(includes per-step H2D of the host batch)")
 
     # --- loader-fed -------------------------------------------------------
     for name, (mk, n) in makers.items():
         wall, loss = run_loader(mk, n, args.steps)
         ms = 1e3 * wall / args.steps
         results[f"{name}_ms_per_step"] = round(ms, 2)
-        results[f"{name}_overhead_pct"] = round(
-            100 * (ms - results["device_only_ms_per_step"])
-            / results["device_only_ms_per_step"], 1)
-        logger.info(f"{name}: {ms:.2f} ms/step "
-                    f"(+{results[f'{name}_overhead_pct']}% vs device-only; "
-                    f"loss {loss:.3f})")
+        if "device_only_ms_per_step" in results:
+            results[f"{name}_overhead_pct"] = round(
+                100 * (ms - results["device_only_ms_per_step"])
+                / results["device_only_ms_per_step"], 1)
+        logger.info(f"{name}: {ms:.2f} ms/step (loss {loss:.3f})")
 
     # --- host-only sample cost (no device work) ----------------------------
     for name, (mk, n) in makers.items():
