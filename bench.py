@@ -98,12 +98,69 @@ def _run():
     per_iter = float(np.median(deltas))
     frames_per_sec = T / per_iter
     target = 50.0  # BASELINE.md: >= 50 frames/sec/chip
-    print(json.dumps({
+    record = {
         "metric": "vps_inference_frames_per_sec_per_chip",
         "value": round(frames_per_sec, 3),
         "unit": "frames/sec",
         "vs_baseline": round(frames_per_sec / target, 4),
-    }))
+    }
+    if _os.environ.get("OPENPVSG_BENCH_TRAIN") == "1":
+        # opt-in (adds a ~3-5 min train-step compile through the remote
+        # tunnel): training throughput at the PERF.md operating point
+        # (B=4, T=2, N=20, bf16), reported as extra keys on the same line
+        record.update(_train_metric(on_tpu))
+    print(json.dumps(record))
+
+
+def _train_metric(on_tpu):
+    from openpvsg_tpu.config import mask2former_vps
+    from openpvsg_tpu.train.segmenter import SegmenterTrainer
+
+    cfg = mask2former_vps()
+    if on_tpu:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, backbone=dataclasses.replace(
+                    cfg.model.backbone, dtype="bfloat16")))
+        B, N, H, W = 4, 20, 384, 480
+    else:
+        B, N, H, W = 2, 4, 96, 128
+    T = cfg.model.num_frames
+    trainer = SegmenterTrainer(cfg.model, cfg.train, example_shape=(T, H, W))
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(
+            rng.standard_normal((B, T, H, W, 3)).astype(np.float32)),
+        "gt_labels": jnp.asarray(
+            rng.integers(0, cfg.model.num_classes, (B, N)), jnp.int32),
+        "gt_masks": jnp.asarray(
+            rng.integers(0, 2, (B, N, T, H // 4, W // 4)).astype(np.float32)),
+        "gt_valid": jnp.ones((B, N), bool),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def run(k):
+        logs = None
+        for _ in range(k):
+            logs = trainer.step(batch, key)  # chains through donated state
+        return float(logs["loss"])
+
+    run(1)
+    deltas = []
+    n_short, n_long = (2, 10) if on_tpu else (1, 3)
+    for _ in range(5 if on_tpu else 1):
+        t0 = time.perf_counter()
+        run(n_short)
+        ts = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(n_long)
+        tl = time.perf_counter() - t0
+        deltas.append((tl - ts) / (n_long - n_short))
+    sec = float(np.median(deltas))
+    return {"train_ms_per_step": round(1e3 * sec, 2),
+            "train_clip_frames_per_sec_per_chip": round(B * T / sec, 2),
+            "train_batch": [B, T, H, W], "train_instances": N}
 
 
 if __name__ == "__main__":

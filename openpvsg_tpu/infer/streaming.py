@@ -13,21 +13,41 @@ processes a live frame stream incrementally:
 State is O(num_tubes x max_history) feature memory when a rolling history
 bound is set (O(frames_seen) without one); masks leave the device only for
 the frames the caller asks for.
+
+Two relation-history backends:
+
+- device_history=True (default): the rolling (slots, history, D) feature
+  window LIVES ON THE DEVICE. Each segmenter window ships only the
+  (slots, window, D) update block (~0.2 MB); scoring keeps the encoder
+  outputs on device, downloads the (slots, slots) pair matrix, ships the
+  chosen pair indices back, and gathers+concats+predicts on device — so
+  the per-interval wire cost is O(slots^2 + P*T) scores instead of the
+  O(slots*T*D) feature window in BOTH directions. Measured on the v5e
+  tunnel at (50 tubes, 900 history): 3.25 s -> sub-second per interval
+  (PERF.md r4).
+- device_history=False: the r1-r3 host path — features in host dicts,
+  rebuilt densely and re-uploaded every interval via eval.rel_eval
+  .evaluate_video. Kept as the oracle for the parity test
+  (tests/test_streaming.py) and for hosts where the relation model is
+  swapped per-interval.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from functools import partial
+from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from openpvsg_tpu import INSTANCE_OFFSET
-from openpvsg_tpu.config import Mask2FormerConfig, RelationHeadConfig
 from openpvsg_tpu.infer.segmenter import SegmenterInference
 from openpvsg_tpu.models.relation.heads import RelationModel
-from openpvsg_tpu.models.relation.utils import (concatenate_sub_obj,
-                                                pick_top_pairs_eval,
+from openpvsg_tpu.models.relation.utils import (pick_top_pairs_eval,
                                                 generate_results)
+
+# slot-capacity growth schedule (mirrors eval.rel_eval.TUBE_BUCKETS)
+SLOT_BUCKETS = (20, 50, 100, 200)
 
 
 class StreamingPVSG:
@@ -47,7 +67,8 @@ class StreamingPVSG:
                  relation_interval: int = 16,
                  num_top_pairs: int = 20,
                  feat_dim: int = 256,
-                 max_history: Optional[int] = None):
+                 max_history: Optional[int] = None,
+                 device_history: bool = True):
         """max_history: retain only the last K frames of tube features, so
         state is O(num_tubes x K) and each relation pass costs O(K) however
         long the stream runs (unbounded T was VERDICT r2 weak #4). Relation
@@ -69,13 +90,17 @@ class StreamingPVSG:
             raise ValueError(
                 f"max_history ({max_history}) must be >= window ({window})")
         self.max_history = max_history
+        self.device_history = device_history and rel_model is not None
 
         self._buf: List[np.ndarray] = []
         self._frame_id = 0
         self._object_list: List[int] = []
-        self._tubes: Dict[int, Dict[int, np.ndarray]] = {}  # tid -> {frame: feat}
         self._tube_cls: Dict[int, int] = {}
-        self._last_outputs: List[Dict] = []
+        # host backend state: tid -> {frame: feat}
+        self._tubes: Dict[int, Dict[int, np.ndarray]] = {}
+        if self.device_history:
+            self._ring = _DeviceRing(rel_model, rel_params, window,
+                                     feat_dim, max_history, num_top_pairs)
 
     # ------------------------------------------------------------------
     def push(self, frame: np.ndarray) -> Optional[Dict]:
@@ -92,6 +117,7 @@ class StreamingPVSG:
         outputs = self.seg.infer_window_vps(np.stack(frames))
 
         frame_ids, pans = [], []
+        window_feats: Dict[int, List[Tuple[int, np.ndarray]]] = {}
         for out in outputs:
             fid = self._frame_id
             self._frame_id += 1
@@ -101,11 +127,17 @@ class StreamingPVSG:
                 if seg_id not in self._object_list:
                     self._object_list.append(seg_id)
                 tid = self._object_list.index(seg_id) + 1
-                self._tubes.setdefault(tid, {})[fid] = np.asarray(
-                    feat, np.float32)
+                f = np.asarray(feat, np.float32).reshape(-1)[: self.feat_dim]
                 self._tube_cls[tid] = int(seg_id % INSTANCE_OFFSET)
+                if self.device_history:
+                    window_feats.setdefault(tid, []).append(
+                        (fid - frame_ids[0], f))
+                else:
+                    self._tubes.setdefault(tid, {})[fid] = f
 
-        if self.max_history is not None:
+        if self.device_history:
+            self._ring.update(window_feats, self._frame_id)
+        elif self.max_history is not None:
             cutoff = self._frame_id - self.max_history
             if cutoff > 0:
                 for tid in list(self._tubes):
@@ -116,40 +148,51 @@ class StreamingPVSG:
                         del self._tubes[tid]
 
         triplets = None
-        if (self.rel_model is not None and self._tubes
+        has_tubes = (self._ring.live_tids() if self.device_history
+                     else self._tubes)
+        if (self.rel_model is not None and has_tubes
                 and self._frame_id % self.relation_interval < self.window):
             triplets = self._score_relations()
-        result = {"frames": frame_ids, "pan_results": pans,
-                  "triplets": triplets}
-        self._last_outputs.append(result)
-        return result
+        # results are returned, never retained: engine memory stays
+        # O(num_tubes x max_history) however long the stream runs
+        return {"frames": frame_ids, "pan_results": pans,
+                "triplets": triplets}
 
     # ------------------------------------------------------------------
     def _score_relations(self) -> List[Dict]:
         T = self._frame_id
-        lo = (max(0, T - self.max_history)
-              if self.max_history is not None else 0)
-        tids = sorted(self._tubes)
-        feats = np.zeros((len(tids), T - lo, self.feat_dim), np.float32)
-        for k, tid in enumerate(tids):
-            for f, v in self._tubes[tid].items():
-                if f >= lo:
-                    feats[k, f - lo] = v.reshape(-1)[: self.feat_dim]
+        if self.device_history:
+            # the ring's retained window is its own truth: capacity is
+            # max_history rounded DOWN to a window multiple, so column 0 may
+            # sit up to window-1 frames later than the nominal bound
+            lo = self._ring.lo
+            ranked = self._ring.score()
+        else:
+            lo = (max(0, T - self.max_history)
+                  if self.max_history is not None else 0)
+            tids = sorted(self._tubes)
+            feats = np.zeros((len(tids), T - lo, self.feat_dim), np.float32)
+            for k, tid in enumerate(tids):
+                for f, v in self._tubes[tid].items():
+                    if f >= lo:
+                        feats[k, f - lo] = v.reshape(-1)[: self.feat_dim]
 
-        from openpvsg_tpu.eval.rel_eval import evaluate_video
+            from openpvsg_tpu.eval.rel_eval import evaluate_video
 
-        pairs, results = evaluate_video(
-            self.rel_model, self.rel_params, feats,
-            num_top_pairs=self.num_top_pairs, pairwise=False)
+            pairs, results = evaluate_video(
+                self.rel_model, self.rel_params, feats,
+                num_top_pairs=self.num_top_pairs, pairwise=False)
+            ranked = [(tids[r["subject_index"]], tids[r["object_index"]],
+                       r["relation"], r["relation_span"]) for r in results]
         out = []
-        for r in results[: self.num_top_pairs]:
-            span = np.flatnonzero(r["relation_span"])
+        for s_tid, o_tid, rel, span_bin in ranked[: self.num_top_pairs]:
+            span = np.flatnonzero(span_bin)
             out.append({
-                "subject_tube": tids[r["subject_index"]],
-                "object_tube": tids[r["object_index"]],
-                "subject_cls": self._tube_cls[tids[r["subject_index"]]],
-                "object_cls": self._tube_cls[tids[r["object_index"]]],
-                "relation": r["relation"],
+                "subject_tube": s_tid,
+                "object_tube": o_tid,
+                "subject_cls": self._tube_cls[s_tid],
+                "object_cls": self._tube_cls[o_tid],
+                "relation": rel,
                 # spans are window-relative on the wire; report absolute
                 "span": [int(span[0]) + lo, int(span[-1]) + lo]
                 if span.size else None,
@@ -163,11 +206,212 @@ class StreamingPVSG:
             while len(self._buf) < self.window:  # pad the tail window
                 self._buf.append(self._buf[-1])
             self._flush_window()
+        has_tubes = (self._ring.live_tids() if self.device_history
+                     else self._tubes)
         triplets = self._score_relations() if (
-            self.rel_model is not None and self._tubes) else []
+            self.rel_model is not None and has_tubes) else []
         return {
             "num_frames": self._frame_id,
             "num_tubes": len(self._tube_cls),
             "tube_classes": dict(self._tube_cls),
             "triplets": triplets,
         }
+
+
+class _DeviceRing:
+    """Device-resident rolling tube-feature window.
+
+    hist: (S, C, D) f32 on device — S slot rows (bucketed, grows through
+    SLOT_BUCKETS), C = max_history frame columns (or a growing power-of-two
+    capacity when unbounded), newest frame always at column t_valid-1.
+    Host keeps only the slot <-> tube-id mapping and per-slot last-seen
+    frame ids; features never come back to the host.
+
+    Update per segmenter window: one (S, W, D) block upload; aged-out slots
+    are zeroed in the same fused jit (keep-mask multiply), so slot reuse
+    can never leak a previous tube's features.
+    """
+
+    def __init__(self, model: RelationModel, params, window: int,
+                 feat_dim: int, max_history: Optional[int],
+                 num_top_pairs: int):
+        self.model = model
+        self.params = params
+        self.window = window
+        self.feat_dim = feat_dim
+        self.max_history = max_history
+        self.num_top_pairs = num_top_pairs
+        self.S = SLOT_BUCKETS[0]
+        # capacity: the rolling bound ROUNDED DOWN to a window multiple so
+        # the shift-by-W ring stays exact (t_valid is then always a window
+        # multiple; the effective history bound loses at most W-1 frames),
+        # or a growing size when unbounded (re-padding preserves contents)
+        if max_history is not None:
+            self.C = max(max_history // window, 1) * window
+        else:
+            self.C = max(128 // window, 1) * window
+        self.hist = jnp.zeros((self.S, self.C, feat_dim), jnp.float32)
+        self.t_valid = 0
+        self.frames_pushed = 0
+        self._slot_of: Dict[int, int] = {}      # tid -> slot
+        self._tid_of: Dict[int, int] = {}       # slot -> tid
+        self._last_seen: Dict[int, int] = {}    # tid -> absolute frame id
+        self._jit_cache: Dict = {}
+
+    # -- slot management ------------------------------------------------
+    @property
+    def lo(self) -> int:
+        """Absolute frame id of ring column 0."""
+        return self.frames_pushed - self.t_valid
+
+    def live_tids(self):
+        return list(self._slot_of)
+
+    def _assign_slot(self, tid: int) -> int:
+        if tid in self._slot_of:
+            return self._slot_of[tid]
+        used = set(self._slot_of.values())
+        free = [s for s in range(self.S) if s not in used]
+        if not free:
+            self._grow_slots()
+            free = [s for s in range(self.S)
+                    if s not in set(self._slot_of.values())]
+        slot = free[0]
+        self._slot_of[tid] = slot
+        self._tid_of[slot] = tid
+        return slot
+
+    def _grow_slots(self):
+        for b in SLOT_BUCKETS:
+            if b > self.S:
+                new_s = b
+                break
+        else:
+            new_s = self.S * 2
+        self.hist = jnp.pad(self.hist, ((0, new_s - self.S), (0, 0), (0, 0)))
+        self.S = new_s
+        self._jit_cache.clear()
+
+    def _grow_capacity(self, needed: int):
+        new_c = self.C
+        while new_c < needed:
+            new_c *= 2
+        self.hist = jnp.pad(self.hist, ((0, 0), (0, new_c - self.C), (0, 0)))
+        self.C = new_c
+        self._jit_cache.clear()
+
+    # -- jitted kernels (cached per (S, C) shape) ------------------------
+    def _fns(self):
+        key = (self.S, self.C)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        W, C = self.window, self.C
+        model, params = self.model, self.params
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def append(hist, keep, block, t_valid):
+            # zero aged-out slots, then write the W new columns; when the
+            # window is full, shift left by W first (static slices — the
+            # capacity C is a compile-time constant)
+            hist = hist * keep[:, None, None]
+            full = jnp.roll(hist, -W, axis=1)
+            hist = jnp.where(t_valid + W > C, full, hist)
+            start = jnp.minimum(t_valid, C - W)
+            return jax.lax.dynamic_update_slice(hist, block, (0, start, 0))
+
+        @jax.jit
+        def encode(hist, tube_valid, frame_valid):
+            out = model.apply({"params": params}, hist,
+                              tube_valid=tube_valid, frame_valid=frame_valid)
+            return out["sub_feats"], out["obj_feats"], out["pred_matrix"]
+
+        @jax.jit
+        def predict(sub, obj, s_idx, o_idx, frame_valid):
+            pair = jnp.concatenate([sub[s_idx], obj[o_idx]], axis=-1)
+            span, prob = model.apply({"params": params}, pair, frame_valid,
+                                     method=RelationModel.predict)
+            # binarize the span on device: (P, C, R) bool crosses the wire
+            # instead of f32
+            return span > 0, prob
+
+        fns = (append, encode, predict)
+        self._jit_cache[key] = fns
+        return fns
+
+    # -- per-window update ------------------------------------------------
+    def update(self, window_feats: Dict[int, List[Tuple[int, np.ndarray]]],
+               frame_id: int):
+        """window_feats: tid -> [(offset within window, feat)]."""
+        # age out tubes unseen within the rolling bound BEFORE assigning
+        # slots, so a full slot table frees space for new tubes first
+        for tid in window_feats:
+            self._last_seen[tid] = frame_id
+        keep_np = np.ones(self.S, np.float32)
+        if self.max_history is not None:
+            cutoff = frame_id - self.max_history
+            for tid in [t for t, last in self._last_seen.items()
+                        if last < cutoff]:
+                del self._last_seen[tid]
+                if tid in self._slot_of:
+                    slot = self._slot_of.pop(tid)
+                    del self._tid_of[slot]
+                    keep_np[slot] = 0.0
+        # slot growth may be triggered by assignment; rebuild keep after
+        slots = {tid: self._assign_slot(tid) for tid in window_feats}
+        if self.S > keep_np.shape[0]:
+            keep_np = np.pad(keep_np, (0, self.S - keep_np.shape[0]),
+                             constant_values=1.0)
+        if self.max_history is None and self.t_valid + self.window > self.C:
+            self._grow_capacity(self.t_valid + self.window)
+
+        block = np.zeros((self.S, self.window, self.feat_dim), np.float32)
+        for tid, entries in window_feats.items():
+            for off, feat in entries:
+                block[slots[tid], off] = feat
+        append, _, _ = self._fns()
+        self.hist = append(self.hist, jnp.asarray(keep_np),
+                           jnp.asarray(block), jnp.int32(self.t_valid))
+        self.t_valid = min(self.t_valid + self.window, self.C)
+        self.frames_pushed += self.window
+
+    # -- scoring ----------------------------------------------------------
+    def score(self) -> List[Tuple[int, int, int, np.ndarray]]:
+        """Returns ranked (subject_tid, object_tid, relation, span) with the
+        span binarized over the valid window (column 0 == oldest retained
+        frame), identical content to the host backend's generate_results
+        ranking."""
+        _, encode, predict = self._fns()
+        tube_valid = np.zeros(self.S, bool)
+        for slot in self._tid_of:
+            tube_valid[slot] = True
+        frame_valid = np.arange(self.C) < self.t_valid
+        sub, obj, pred_matrix = encode(self.hist, jnp.asarray(tube_valid),
+                                       jnp.asarray(frame_valid))
+        # (S, S) — the only big-ish D2H; astype copies (D2H buffers are
+        # read-only) so the -inf masking below is legal
+        pm = np.asarray(pred_matrix).astype(np.float64)
+        pm[~tube_valid, :] = -np.inf  # never pair an empty slot
+        pm[:, ~tube_valid] = -np.inf
+        pairs = [p for p in pick_top_pairs_eval(pm, self.num_top_pairs)
+                 if np.isfinite(pm[p[0], p[1]])]
+        if not pairs:
+            return []
+        # pad the pair axis to the budget so one executable serves every
+        # interval; padded rows are masked out of the ranking on the host
+        P = len(pairs)
+        idx = np.zeros((self.num_top_pairs, 2), np.int32)
+        idx[:P] = np.asarray(pairs, np.int32)
+        span_bin, prob = predict(sub, obj, jnp.asarray(idx[:, 0]),
+                                 jnp.asarray(idx[:, 1]),
+                                 jnp.asarray(frame_valid))
+        span_bin = np.asarray(span_bin)[:, : self.t_valid]
+        prob = np.asarray(prob).astype(np.float64)
+        prob[P:] = -np.inf  # padded pair rows rank strictly last
+        results = generate_results(span_bin.astype(float), prob, idx.tolist())
+        # generate_results orders by descending prob over all P_budget * R
+        # entries; padded rows are exactly the -inf tail, so the first
+        # P * R entries are the real ones
+        results = results[: P * prob.shape[1]]
+        return [(self._tid_of[int(r["subject_index"])],
+                 self._tid_of[int(r["object_index"])],
+                 r["relation"], r["relation_span"]) for r in results]

@@ -92,24 +92,32 @@ def test_minvis_stitch_chains_across_windows(rng):
     np.testing.assert_array_equal(perms_chained[1], inv)
 
 
-def test_streaming_bounded_history(engine_parts):
+@pytest.mark.parametrize("device_history", [False, True])
+def test_streaming_bounded_history(engine_parts, device_history):
     """max_history bounds the state (VERDICT r2 weak #4): with T >> the
     relation interval, stored features never exceed the window, scoring
     cost stays O(max_history), and spans come back in absolute frame ids
-    clipped to the window."""
+    clipped to the window — on both history backends."""
     seg, rel, rel_params = engine_parts
     K = 8
     engine = StreamingPVSG(seg, rel, rel_params, window=2,
                            relation_interval=4, num_top_pairs=5,
-                           max_history=K)
+                           max_history=K, device_history=device_history)
     rng = np.random.default_rng(2)
     last_fired = None
     for f in rng.integers(0, 255, (40, H, W, 3)).astype(np.uint8):
         r = engine.push(f)
-        # state bound: every stored frame id within the rolling window
-        for d in engine._tubes.values():
-            assert len(d) <= K
-            assert all(f_id >= engine._frame_id - K for f_id in d)
+        if device_history:
+            ring = engine._ring
+            assert ring.t_valid <= ring.C == K      # state bound on device
+            assert ring.lo >= engine._frame_id - K
+            # every live tube owns exactly one slot and vice versa
+            assert sorted(ring._slot_of.values()) == sorted(ring._tid_of)
+        else:
+            # state bound: every stored frame id within the rolling window
+            for d in engine._tubes.values():
+                assert len(d) <= K
+                assert all(f_id >= engine._frame_id - K for f_id in d)
         if r is not None and r["triplets"]:
             last_fired = (engine._frame_id, r["triplets"])
     assert last_fired is not None, "relation refresh never fired"
@@ -120,4 +128,40 @@ def test_streaming_bounded_history(engine_parts):
     final = engine.finish()
     assert final["num_frames"] == 40
     # tube summary still counts aged-out tubes
-    assert final["num_tubes"] >= len(engine._tubes)
+    assert final["num_tubes"] >= len(
+        engine._ring.live_tids() if device_history else engine._tubes)
+
+
+def _run_stream(engine, frames):
+    fired = []
+    for f in frames:
+        r = engine.push(f)
+        if r is not None and r["triplets"] is not None:
+            fired.append(r["triplets"])
+    fired.append(engine.finish()["triplets"])
+    return fired
+
+
+@pytest.mark.parametrize("max_history", [None, 8])
+def test_streaming_device_host_parity(engine_parts, max_history):
+    """The device-resident ring backend emits the same ranked triplets as
+    the r1-r3 host-dict backend at every relation refresh (max_history a
+    window multiple, so ring capacity == the nominal bound)."""
+    seg, rel, rel_params = engine_parts
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (20, H, W, 3)).astype(np.uint8)
+
+    kw = dict(window=2, relation_interval=4, num_top_pairs=5,
+              max_history=max_history)
+    host = _run_stream(
+        StreamingPVSG(seg, rel, rel_params, device_history=False, **kw),
+        frames)
+    dev = _run_stream(
+        StreamingPVSG(seg, rel, rel_params, device_history=True, **kw),
+        frames)
+
+    assert len(host) == len(dev) and len(host) > 1
+    for h_trips, d_trips in zip(host, dev):
+        assert len(h_trips) == len(d_trips)
+        for h, d in zip(h_trips, d_trips):
+            assert h == d, f"{h} != {d}"

@@ -30,6 +30,12 @@ import tools.common  # noqa: F401  (OPENPVSG_PLATFORM handling)
 
 
 def _rss_mb() -> float:
+    """CURRENT resident set (VmRSS), not ru_maxrss: the peak is monotone by
+    definition and cannot distinguish a leak from one late transient."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
 
@@ -155,9 +161,10 @@ class _StubSegmenter:
 
 
 def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
-                     max_history=900, interval=32):
+                     max_history=900, interval=32, device_history=True):
     """StreamingPVSG at scale (VERDICT r3 weak #4 follow-up): per-interval
-    relation latency and flat memory over a long stream."""
+    relation latency and flat memory over a long stream, on either history
+    backend (device_history=True is the r4 device-resident ring)."""
     import jax
     import jax.numpy as jnp
 
@@ -172,7 +179,8 @@ def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
                                 jnp.zeros((2, 4, 512)))["params"]
     engine = StreamingPVSG(_StubSegmenter(n_tubes), rel_model, rel_params,
                            window=4, relation_interval=interval,
-                           num_top_pairs=20, max_history=max_history)
+                           num_top_pairs=20, max_history=max_history,
+                           device_history=device_history)
     frame = np.zeros((64, 64, 3), np.uint8)
     lat, rss, state_frames = [], [], []
     t_push0 = time.perf_counter()
@@ -184,6 +192,8 @@ def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
             lat.append(dt)
             rss.append(_rss_mb())
             state_frames.append(
+                engine._ring.t_valid * len(engine._ring.live_tids())
+                if device_history else
                 sum(len(d) for d in engine._tubes.values()))
     wall = time.perf_counter() - t_push0
     fin = engine.finish()
@@ -191,6 +201,7 @@ def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
     report["streaming"] = {
         "total_frames": total_frames, "n_tubes": n_tubes,
         "max_history": max_history, "relation_interval": interval,
+        "device_history": device_history,
         "intervals_scored": len(lat),
         "first_interval_s": round(lat[0], 2),
         "steady_interval_ms_median": round(1e3 * float(np.median(steady)), 1),
@@ -199,6 +210,12 @@ def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
         "tube_state_frames_max": int(max(state_frames)),
         "tube_state_bound": n_tubes * max_history,
         "rss_mb_first": round(rss[0], 1), "rss_mb_last": round(rss[-1], 1),
+        # flatness check: current-RSS at each quartile of the scored
+        # intervals (a leak shows as a monotone staircase; a transient as
+        # one bump)
+        "rss_mb_quartiles": [round(rss[i], 1) for i in
+                             (0, len(rss) // 4, len(rss) // 2,
+                              3 * len(rss) // 4, len(rss) - 1)],
         "wall_s": round(wall, 1),
         "frames_per_sec_incl_stub": round(total_frames / wall, 1),
         "num_tubes_final": fin["num_tubes"],
@@ -248,6 +265,9 @@ def main():
     p.add_argument("--videos", nargs="*", default=None)
     p.add_argument("--frames", type=int, default=2000,
                    help="streaming: total frames")
+    p.add_argument("--host-history", action="store_true",
+                   help="streaming: use the r1-r3 host-dict history backend "
+                        "instead of the device-resident ring")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -261,7 +281,8 @@ def main():
         stress_relation(report, on_tpu)
     if "streaming" in sections:
         stress_streaming(report, on_tpu,
-                         total_frames=args.frames if on_tpu else 400)
+                         total_frames=args.frames if on_tpu else 400,
+                         device_history=not args.host_history)
     if "stage2" in sections:
         if not (args.data_dir and args.anno_file):
             raise SystemExit("stage2 needs --data-dir/--anno-file with a "
