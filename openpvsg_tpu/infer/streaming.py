@@ -23,7 +23,7 @@ Two relation-history backends:
   chosen pair indices back, and gathers+concats+predicts on device — so
   the per-interval wire cost is O(slots^2 + P*T) scores instead of the
   O(slots*T*D) feature window in BOTH directions. Measured on the v5e
-  tunnel at (50 tubes, 900 history): 3.25 s -> sub-second per interval
+  tunnel at (50 tubes, 900 history): 3.25 s -> 147 ms per interval, 22x
   (PERF.md r4).
 - device_history=False: the r1-r3 host path — features in host dicts,
   rebuilt densely and re-uploaded every interval via eval.rel_eval
