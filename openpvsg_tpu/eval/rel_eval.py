@@ -3,11 +3,21 @@
 
 The relation model runs jitted on padded shapes; the ranked-triplet R@K
 accounting is host-side (tiny).
+
+Wire discipline (r4): by default the pair gather happens ON DEVICE — the
+encoder outputs never leave the chip; only the (N, N) pair matrix comes
+down, the chosen pair indices go back up, and spans return binarized
+(bool). At the reference's (100, 900, 256) scale that replaces ~420 MB of
+host<->device traffic per video (sub/obj down + gathered pair feats up)
+with ~6 MB. device_gather=False restores the r1-r3 host gather (the
+parity oracle; also what the mesh executor path uses).
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +33,7 @@ K_VALUES = (20, 50, 100)
 
 TUBE_BUCKETS = (20, 50, 100, 200)
 FRAME_BUCKETS = (128, 256, 512, 1024, 2048)
+PAIR_BUCKETS = (25, 50, 100, 200)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -32,9 +43,28 @@ def _bucket(n: int, buckets) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
+@lru_cache(maxsize=8)
+def _pair_predict_fn(model: RelationModel):
+    """Jitted device-side pair gather + predict (cached per model instance;
+    flax modules are frozen dataclasses, hence hashable). Per-pair rows are
+    batch-independent in every temporal head, so padded pair rows cannot
+    perturb real rows — outputs match the host-gather path bitwise."""
+
+    @jax.jit
+    def f(params, sub, obj, s_idx, o_idx, frame_valid):
+        pair = jnp.concatenate([sub[s_idx], obj[o_idx]], axis=-1)
+        span, prob = model.apply({"params": params}, pair, frame_valid,
+                                 method=RelationModel.predict)
+        # binarize on device: generate_results thresholds at logit 0 anyway,
+        # and bool is 4x less wire than f32
+        return span > 0, prob
+
+    return f
+
+
 def evaluate_video(model: RelationModel, params, feats: np.ndarray,
                    num_top_pairs: int = 100, pairwise: bool = True,
-                   executor=None):
+                   executor=None, device_gather: bool = True):
     """Forward one video: returns (selected_pairs, ranked results).
 
     Shapes are padded to buckets (validity-masked — results match unpadded
@@ -43,6 +73,8 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
     executor: optional parallel.tp.TimeShardedRelation — shards the frame
     axis over the mesh 'time' axis and the pair axis over 'data' (identical
     results, proven in tests/test_parallel.py); None = single-device apply.
+    device_gather: single-device path only — gather pair features on device
+    (see module docstring); False = r1-r3 host gather (parity oracle).
     """
     n, t, d = feats.shape
     nb = _bucket(n, TUBE_BUCKETS)
@@ -61,12 +93,29 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
         out = model.apply({"params": params}, jnp.asarray(fp),
                           tube_valid=jnp.asarray(tube_valid),
                           frame_valid=jnp.asarray(frame_valid))
-    sub = np.asarray(out["sub_feats"])[:n, :t]
-    obj = np.asarray(out["obj_feats"])[:n, :t]
     pred_matrix = np.asarray(out["pred_matrix"])[:n, :n]
     selected_pairs = pick_top_pairs_eval(pred_matrix, num_top_pairs)
     if not selected_pairs:
         return [], []
+
+    gen = generate_pairwise_results if pairwise else generate_results
+    if executor is None and device_gather:
+        # encoder outputs stay on device; ship pair indices, get back
+        # binarized spans + per-pair probabilities
+        P = len(selected_pairs)
+        pb = _bucket(P, PAIR_BUCKETS)
+        idx = np.zeros((pb, 2), np.int32)
+        idx[:P] = np.asarray(selected_pairs, np.int32)
+        span_bin, prob = _pair_predict_fn(model)(
+            params, out["sub_feats"], out["obj_feats"],
+            jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
+            jnp.asarray(frame_valid))
+        span_pred = np.asarray(span_bin)[:P, :t].astype(np.float32)
+        results = gen(span_pred, np.asarray(prob)[:P], selected_pairs)
+        return selected_pairs, results
+
+    sub = np.asarray(out["sub_feats"])[:n, :t]
+    obj = np.asarray(out["obj_feats"])[:n, :t]
     pair_feats = concatenate_sub_obj(sub, obj, selected_pairs)
     pf = np.zeros((len(selected_pairs), tb, pair_feats.shape[-1]), np.float32)
     pf[:, :t] = pair_feats
@@ -77,7 +126,6 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
                                       jnp.asarray(frame_valid),
                                       method=RelationModel.predict)
     span_pred = np.asarray(span_pred)[:, :t]
-    gen = generate_pairwise_results if pairwise else generate_results
     results = gen(span_pred, np.asarray(prob), selected_pairs)
     return selected_pairs, results
 

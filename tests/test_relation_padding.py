@@ -60,6 +60,28 @@ def test_eval_bucketing_end_to_end(setup):
     assert all(len(r["relation_span"]) == 10 for r in results)
 
 
+@pytest.mark.parametrize("pairwise", [True, False])
+def test_eval_device_gather_parity(setup, pairwise):
+    """The r4 device-side pair gather (indices up, binarized spans down)
+    returns the same pairs and the same ranked triplets as the r1-r3
+    host gather — padded pair rows are batch-independent, so results
+    match exactly."""
+    from openpvsg_tpu.eval.rel_eval import evaluate_video
+
+    model, params, feats = setup
+    p_host, r_host = evaluate_video(model, params, feats, num_top_pairs=6,
+                                    pairwise=pairwise, device_gather=False)
+    p_dev, r_dev = evaluate_video(model, params, feats, num_top_pairs=6,
+                                  pairwise=pairwise, device_gather=True)
+    assert p_host == p_dev
+    assert len(r_host) == len(r_dev) > 0
+    for h, d in zip(r_host, r_dev):
+        assert (h["subject_index"], h["object_index"], h["relation"]) == \
+               (d["subject_index"], d["object_index"], d["relation"])
+        np.testing.assert_array_equal(h["relation_span"],
+                                      d["relation_span"])
+
+
 @pytest.mark.parametrize("name", ["vanilla", "transformer"])
 def test_pair_interaction_padding_and_grad(name):
     """pair_interaction=True (beyond-reference [s,o,s-o,s*o] input) keeps
