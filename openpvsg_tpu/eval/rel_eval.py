@@ -9,8 +9,10 @@ encoder outputs never leave the chip; only the (N, N) pair matrix comes
 down, the chosen pair indices go back up, and spans return binarized
 (bool). At the reference's (100, 900, 256) scale that replaces ~420 MB of
 host<->device traffic per video (sub/obj down + gathered pair feats up)
-with ~6 MB. device_gather=False restores the r1-r3 host gather (the
-parity oracle; also what the mesh executor path uses).
+with ~6 MB. The same discipline covers the mesh path
+(TimeShardedRelation.predict_pairs — the gather rides the replicated tube
+axis, collective-free). device_gather=False restores the r1-r3 host
+gather (the parity oracle).
 """
 from __future__ import annotations
 
@@ -73,8 +75,9 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
     executor: optional parallel.tp.TimeShardedRelation — shards the frame
     axis over the mesh 'time' axis and the pair axis over 'data' (identical
     results, proven in tests/test_parallel.py); None = single-device apply.
-    device_gather: single-device path only — gather pair features on device
-    (see module docstring); False = r1-r3 host gather (parity oracle).
+    device_gather: gather pair features on device (see module docstring) —
+    single-device via _pair_predict_fn, mesh via executor.predict_pairs;
+    False = r1-r3 host gather (parity oracle).
     """
     n, t, d = feats.shape
     nb = _bucket(n, TUBE_BUCKETS)
@@ -99,17 +102,20 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
         return [], []
 
     gen = generate_pairwise_results if pairwise else generate_results
-    if executor is None and device_gather:
+    if device_gather:
         # encoder outputs stay on device; ship pair indices, get back
         # binarized spans + per-pair probabilities
         P = len(selected_pairs)
         pb = _bucket(P, PAIR_BUCKETS)
         idx = np.zeros((pb, 2), np.int32)
         idx[:P] = np.asarray(selected_pairs, np.int32)
-        span_bin, prob = _pair_predict_fn(model)(
-            params, out["sub_feats"], out["obj_feats"],
-            jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
-            jnp.asarray(frame_valid))
+        if executor is not None:
+            span_bin, prob = executor.predict_pairs(out, idx, frame_valid)
+        else:
+            span_bin, prob = _pair_predict_fn(model)(
+                params, out["sub_feats"], out["obj_feats"],
+                jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
+                jnp.asarray(frame_valid))
         span_pred = np.asarray(span_bin)[:P, :t].astype(np.float32)
         results = gen(span_pred, np.asarray(prob)[:P], selected_pairs)
         return selected_pairs, results

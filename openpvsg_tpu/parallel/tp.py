@@ -62,6 +62,20 @@ class TimeShardedRelation:
             return model.apply({"params": params}, pair_feats, frame_valid,
                                method=type(model).predict)
 
+        def pair_predict(params, sub, obj, s_idx, o_idx, frame_valid):
+            # device-side pair gather (r4 wire discipline, eval/rel_eval
+            # docstring): encoder outputs never leave the mesh; only pair
+            # indices come up and binarized spans go down. The gather is
+            # over the replicated tube axis, so it is collective-free; the
+            # constraint reshards the gathered pairs over 'data'.
+            pair = jnp.concatenate([jnp.take(sub, s_idx, axis=0),
+                                    jnp.take(obj, o_idx, axis=0)], axis=-1)
+            pair = jax.lax.with_sharding_constraint(
+                pair, NamedSharding(mesh, P("data", "time", None)))
+            span, prob = model.apply({"params": params}, pair, frame_valid,
+                                     method=type(model).predict)
+            return span > 0, prob
+
         rep = NamedSharding(mesh, P())
         self._fwd = jax.jit(
             fwd,
@@ -72,6 +86,7 @@ class TimeShardedRelation:
             in_shardings=(rep,
                           NamedSharding(mesh, P("data", "time", None)),
                           rep))
+        self._pair_predict = jax.jit(pair_predict)
 
     def _frame_valid(self, frame_valid: Optional[np.ndarray], t: int,
                      t_pad: int) -> jnp.ndarray:
@@ -99,6 +114,26 @@ class TimeShardedRelation:
         return {"sub_feats": out["sub_feats"][:, :t],
                 "obj_feats": out["obj_feats"][:, :t],
                 "pred_matrix": out["pred_matrix"]}
+
+    def predict_pairs(self, out, idx: np.ndarray,
+                      frame_valid: Optional[np.ndarray] = None):
+        """Device-side pair gather + predict over the mesh.
+
+        out: propose()'s dict with sub/obj feats still device-resident;
+        idx: (P_padded, 2) int32 subject/object tube indices (padded rows
+        point at tube 0 — per-pair rows are batch-independent in every
+        temporal head, so they cannot perturb real rows). Returns
+        (span > 0 (P_padded, T, R) bool, prob (P_padded, R)); only the
+        index upload and these downloads cross the wire.
+        """
+        sub, obj = out["sub_feats"], out["obj_feats"]
+        t = sub.shape[1]
+        idx, _ = _pad_axis(np.asarray(idx, np.int32), 0, self.n_data)
+        span, prob = self._pair_predict(
+            self.params, jnp.asarray(sub), jnp.asarray(obj),
+            jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
+            self._frame_valid(frame_valid, t, t))
+        return np.asarray(span), np.asarray(prob)
 
     def predict(self, pair_feats: np.ndarray,
                 frame_valid: Optional[np.ndarray] = None):

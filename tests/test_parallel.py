@@ -153,6 +153,40 @@ def test_time_sharded_relation_matches_single(rng):
                                atol=1e-4)
 
 
+def test_time_sharded_device_gather_parity(rng):
+    """The r4 device-side pair gather over the mesh
+    (TimeShardedRelation.predict_pairs) returns the same pairs and the
+    same ranked triplets as the host-gather executor path — the gather
+    rides the replicated tube axis, so no collective and no numeric
+    change."""
+    from openpvsg_tpu.eval.rel_eval import evaluate_video
+    from openpvsg_tpu.models.relation.heads import RelationModel
+    from openpvsg_tpu.parallel.tp import TimeShardedRelation
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_time=2)
+
+    model = RelationModel(model_name="transformer", feature_dim=32,
+                          num_relations=9)
+    N, T, D = 5, 7, 32
+    feats = rng.standard_normal((N, T, D)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, D)),
+                        jnp.zeros((2, 4, 2 * D)))["params"]
+    ts = TimeShardedRelation(mesh, model, params)
+
+    p_host, r_host = evaluate_video(model, params, feats, num_top_pairs=6,
+                                    executor=ts, device_gather=False)
+    p_dev, r_dev = evaluate_video(model, params, feats, num_top_pairs=6,
+                                  executor=ts, device_gather=True)
+    assert p_host == p_dev
+    assert len(r_host) == len(r_dev) > 0
+    for h, d in zip(r_host, r_dev):
+        assert (h["subject_index"], h["object_index"], h["relation"]) == \
+               (d["subject_index"], d["object_index"], d["relation"])
+        np.testing.assert_array_equal(h["relation_span"], d["relation_span"])
+
+
 def test_sharded_pair_predict(mesh, rng):
     from openpvsg_tpu.models.relation.heads import RelationModel
 
