@@ -46,15 +46,47 @@ def _bucket(n: int, buckets) -> int:
 
 
 @lru_cache(maxsize=8)
-def _pair_predict_fn(model: RelationModel):
-    """Jitted device-side pair gather + predict (cached per model instance;
-    flax modules are frozen dataclasses, hence hashable). Per-pair rows are
-    batch-independent in every temporal head, so padded pair rows cannot
-    perturb real rows — outputs match the host-gather path bitwise."""
+def _fwd_fn(model: RelationModel):
+    """Jitted encoder forward (r4): one dispatch per bucket shape instead of
+    per-op eager dispatch — on the tunnel each eager op pays dispatch
+    latency; under jit the whole forward is one executable."""
 
     @jax.jit
-    def f(params, sub, obj, s_idx, o_idx, frame_valid):
-        pair = jnp.concatenate([sub[s_idx], obj[o_idx]], axis=-1)
+    def f(params, feats, tube_valid, frame_valid):
+        return model.apply({"params": params}, feats, tube_valid=tube_valid,
+                           frame_valid=frame_valid)
+
+    return f
+
+
+@lru_cache(maxsize=8)
+def _gather_fn(model: RelationModel):
+    """Jitted device-side pair gather. Invalid frames are zeroed so the
+    gathered tensor is bit-identical to the host-built one (which pads the
+    frame tail with zeros) — the two modes then feed the SAME _predict_fn
+    executable with the same inputs, making parity bitwise by construction.
+    (jit and eager compilations of the same math are NOT bitwise equal —
+    measured up to 7e-3 on trained-checkpoint probabilities — so parity
+    must come from sharing the executable, not from 'same formula'.)"""
+
+    @jax.jit
+    def f(sub, obj, s_idx, o_idx, frame_valid):
+        pair = jnp.concatenate([jnp.take(sub, s_idx, axis=0),
+                                jnp.take(obj, o_idx, axis=0)], axis=-1)
+        return pair * frame_valid[None, :, None]
+
+    return f
+
+
+@lru_cache(maxsize=8)
+def _predict_fn(model: RelationModel):
+    """Jitted span/prob head on bucketed pair features (cached per model
+    instance; flax modules are frozen dataclasses, hence hashable).
+    Per-pair rows are batch-independent in every temporal head, so padded
+    pair rows cannot perturb real rows."""
+
+    @jax.jit
+    def f(params, pair, frame_valid):
         span, prob = model.apply({"params": params}, pair, frame_valid,
                                  method=RelationModel.predict)
         # binarize on device: generate_results thresholds at logit 0 anyway,
@@ -76,8 +108,10 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
     axis over the mesh 'time' axis and the pair axis over 'data' (identical
     results, proven in tests/test_parallel.py); None = single-device apply.
     device_gather: gather pair features on device (see module docstring) —
-    single-device via _pair_predict_fn, mesh via executor.predict_pairs;
-    False = r1-r3 host gather (parity oracle).
+    single-device via _gather_fn + _predict_fn, mesh via
+    executor.predict_pairs; False = host gather (parity oracle; on a
+    single device both modes share the _predict_fn executable, so results
+    are bitwise identical and only the wire traffic differs).
     """
     n, t, d = feats.shape
     nb = _bucket(n, TUBE_BUCKETS)
@@ -93,46 +127,60 @@ def evaluate_video(model: RelationModel, params, feats: np.ndarray,
         out = executor.propose(fp, tube_valid=tube_valid,
                                frame_valid=frame_valid)
     else:
-        out = model.apply({"params": params}, jnp.asarray(fp),
-                          tube_valid=jnp.asarray(tube_valid),
-                          frame_valid=jnp.asarray(frame_valid))
+        out = _fwd_fn(model)(params, jnp.asarray(fp),
+                             jnp.asarray(tube_valid),
+                             jnp.asarray(frame_valid))
     pred_matrix = np.asarray(out["pred_matrix"])[:n, :n]
     selected_pairs = pick_top_pairs_eval(pred_matrix, num_top_pairs)
     if not selected_pairs:
         return [], []
 
     gen = generate_pairwise_results if pairwise else generate_results
-    if device_gather:
-        # encoder outputs stay on device; ship pair indices, get back
-        # binarized spans + per-pair probabilities
-        P = len(selected_pairs)
-        pb = _bucket(P, PAIR_BUCKETS)
-        idx = np.zeros((pb, 2), np.int32)
-        idx[:P] = np.asarray(selected_pairs, np.int32)
-        if executor is not None:
-            span_bin, prob = executor.predict_pairs(out, idx, frame_valid)
-        else:
-            span_bin, prob = _pair_predict_fn(model)(
-                params, out["sub_feats"], out["obj_feats"],
-                jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
-                jnp.asarray(frame_valid))
+    P = len(selected_pairs)
+    pb = _bucket(P, PAIR_BUCKETS)
+    idx = np.zeros((pb, 2), np.int32)
+    idx[:P] = np.asarray(selected_pairs, np.int32)
+
+    if device_gather and executor is not None:
+        span_bin, prob = executor.predict_pairs(out, idx, frame_valid)
         span_pred = np.asarray(span_bin)[:P, :t].astype(np.float32)
         results = gen(span_pred, np.asarray(prob)[:P], selected_pairs)
         return selected_pairs, results
 
+    if executor is None:
+        # single device: both modes run the SAME jitted _predict_fn on
+        # bit-identical bucketed pair tensors — only where the gather
+        # happens (and hence the wire traffic) differs
+        if device_gather:
+            pair = _gather_fn(model)(out["sub_feats"], out["obj_feats"],
+                                     jnp.asarray(idx[:, 0]),
+                                     jnp.asarray(idx[:, 1]),
+                                     jnp.asarray(frame_valid))
+        else:
+            sub = np.asarray(out["sub_feats"])[:n, :t]
+            obj = np.asarray(out["obj_feats"])[:n, :t]
+            pair_feats = concatenate_sub_obj(sub, obj, selected_pairs)
+            pf = np.zeros((pb, tb, pair_feats.shape[-1]), np.float32)
+            pf[:P, :t] = pair_feats
+            pair = jnp.asarray(pf)
+        span_bin, prob = _predict_fn(model)(params, pair,
+                                            jnp.asarray(frame_valid))
+        span_pred = np.asarray(span_bin)[:P, :t].astype(np.float32)
+        results = gen(span_pred, np.asarray(prob)[:P], selected_pairs)
+        return selected_pairs, results
+
+    # mesh executor, host gather (the oracle path): the pair axis is
+    # bucketed exactly like the device-gather path so executor.predict
+    # compiles the same shapes and both modes share the executable —
+    # bitwise-identical results, only the wire traffic differs
     sub = np.asarray(out["sub_feats"])[:n, :t]
     obj = np.asarray(out["obj_feats"])[:n, :t]
     pair_feats = concatenate_sub_obj(sub, obj, selected_pairs)
-    pf = np.zeros((len(selected_pairs), tb, pair_feats.shape[-1]), np.float32)
-    pf[:, :t] = pair_feats
-    if executor is not None:
-        span_pred, prob = executor.predict(pf, frame_valid=frame_valid)
-    else:
-        span_pred, prob = model.apply({"params": params}, jnp.asarray(pf),
-                                      jnp.asarray(frame_valid),
-                                      method=RelationModel.predict)
-    span_pred = np.asarray(span_pred)[:, :t]
-    results = gen(span_pred, np.asarray(prob), selected_pairs)
+    pf = np.zeros((pb, tb, pair_feats.shape[-1]), np.float32)
+    pf[:P, :t] = pair_feats
+    span_pred, prob = executor.predict(pf, frame_valid=frame_valid)
+    span_pred = np.asarray(span_pred)[:P, :t]
+    results = gen(span_pred, np.asarray(prob)[:P], selected_pairs)
     return selected_pairs, results
 
 

@@ -20,10 +20,9 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from openpvsg_tpu.data.pvsg import PVSGRelationAnnotation, frame_paths
+from openpvsg_tpu.eval.rel_eval import evaluate_video
 from openpvsg_tpu.eval.rel_metrics import GtTubeCache, calculate_viou, final_metrics
 from openpvsg_tpu.models.relation.heads import RelationModel
-from openpvsg_tpu.models.relation.utils import (
-    concatenate_sub_obj, generate_results, pick_top_pairs_eval)
 
 K_VALUES = (20, 50, 100)
 
@@ -38,8 +37,6 @@ def evaluate_full(
     relation_names: Sequence[str] | None = None,
     executor=None,                  # parallel.tp.TimeShardedRelation | None
 ) -> Dict:
-    import jax.numpy as jnp
-
     relation_names = relation_names or anno.relations
     recall = {K: {i: {"name": n, "total": 0, "hit": 0, "weak_hit": 0}
                   for i, n in enumerate(relation_names)} for K in K_VALUES}
@@ -49,25 +46,15 @@ def evaluate_full(
     for item in rel_dataset:
         vid = item["vid"]
         feats = np.asarray(item["feats"], np.float32)
-        if executor is not None:
-            out = executor.propose(feats)
-        else:
-            out = model.apply({"params": params}, jnp.asarray(feats))
-        selected_pairs = pick_top_pairs_eval(
-            np.asarray(out["pred_matrix"]), num_top_pairs)
-        if not selected_pairs:
+        # r4: one bucketed jitted forward + device-side pair gather (see
+        # eval/rel_eval module docstring) instead of the per-video-shape
+        # eager forward + host gather this loop carried in r1-r3; padding
+        # is validity-masked, results identical (tests/test_rel_full_*).
+        _, results = evaluate_video(model, params, feats,
+                                    num_top_pairs=num_top_pairs,
+                                    pairwise=False, executor=executor)
+        if not results:
             continue
-        pair_feats = concatenate_sub_obj(
-            np.asarray(out["sub_feats"]), np.asarray(out["obj_feats"]),
-            selected_pairs)
-        if executor is not None:
-            span_pred, prob = executor.predict(pair_feats)
-        else:
-            span_pred, prob = model.apply({"params": params},
-                                          jnp.asarray(pair_feats),
-                                          method=RelationModel.predict)
-        results = generate_results(np.asarray(span_pred), np.asarray(prob),
-                                   selected_pairs)
 
         gt = anno[vid]
         gt_cls_of = {o["object_id"]: o["category"] for o in gt["objects"]}

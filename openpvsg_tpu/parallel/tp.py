@@ -62,19 +62,23 @@ class TimeShardedRelation:
             return model.apply({"params": params}, pair_feats, frame_valid,
                                method=type(model).predict)
 
-        def pair_predict(params, sub, obj, s_idx, o_idx, frame_valid):
+        def pair_gather(sub, obj, s_idx, o_idx, frame_valid):
             # device-side pair gather (r4 wire discipline, eval/rel_eval
             # docstring): encoder outputs never leave the mesh; only pair
             # indices come up and binarized spans go down. The gather is
             # over the replicated tube axis, so it is collective-free; the
-            # constraint reshards the gathered pairs over 'data'.
+            # constraint reshards the gathered pairs over 'data'. Invalid
+            # frames are zeroed to match the host-built pair tensor
+            # bit-for-bit, and the predict stage reuses self._predict —
+            # the SAME executable the host-gather oracle runs — so the two
+            # modes are bitwise identical (see eval/rel_eval._gather_fn on
+            # why sharing the executable, not the formula, is what makes
+            # parity exact).
             pair = jnp.concatenate([jnp.take(sub, s_idx, axis=0),
                                     jnp.take(obj, o_idx, axis=0)], axis=-1)
-            pair = jax.lax.with_sharding_constraint(
+            pair = pair * frame_valid[None, :, None]
+            return jax.lax.with_sharding_constraint(
                 pair, NamedSharding(mesh, P("data", "time", None)))
-            span, prob = model.apply({"params": params}, pair, frame_valid,
-                                     method=type(model).predict)
-            return span > 0, prob
 
         rep = NamedSharding(mesh, P())
         self._fwd = jax.jit(
@@ -86,7 +90,8 @@ class TimeShardedRelation:
             in_shardings=(rep,
                           NamedSharding(mesh, P("data", "time", None)),
                           rep))
-        self._pair_predict = jax.jit(pair_predict)
+        self._pair_gather = jax.jit(pair_gather)
+        self._binarize = jax.jit(lambda s: s > 0)
 
     def _frame_valid(self, frame_valid: Optional[np.ndarray], t: int,
                      t_pad: int) -> jnp.ndarray:
@@ -129,11 +134,12 @@ class TimeShardedRelation:
         sub, obj = out["sub_feats"], out["obj_feats"]
         t = sub.shape[1]
         idx, _ = _pad_axis(np.asarray(idx, np.int32), 0, self.n_data)
-        span, prob = self._pair_predict(
-            self.params, jnp.asarray(sub), jnp.asarray(obj),
-            jnp.asarray(idx[:, 0]), jnp.asarray(idx[:, 1]),
-            self._frame_valid(frame_valid, t, t))
-        return np.asarray(span), np.asarray(prob)
+        fv = self._frame_valid(frame_valid, t, t)
+        pair = self._pair_gather(jnp.asarray(sub), jnp.asarray(obj),
+                                 jnp.asarray(idx[:, 0]),
+                                 jnp.asarray(idx[:, 1]), fv)
+        span, prob = self._predict(self.params, pair, fv)
+        return np.asarray(self._binarize(span)), np.asarray(prob)
 
     def predict(self, pair_feats: np.ndarray,
                 frame_valid: Optional[np.ndarray] = None):
