@@ -90,6 +90,12 @@ class Mask2FormerConfig:
     # 'greedy' (on-device approximation), or 'auto' (hungarian where host
     # callbacks work, lapjv on TPU where XLA rejects callbacks — e.g. axon)
     assigner: str = "auto"
+    # spatial average-pool factor applied to BOTH mask operands of the
+    # MATCHING cost only (losses stay full-res; dense mode only). The
+    # assignment is a discrete argmin over per-pair mean costs, stable under
+    # 2-4x pooling, and the cost matrices are the bandwidth-bound part of
+    # the train step (PERF.md r4 MFU) — 1 = exact reference semantics.
+    match_downsample: int = 1
     num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75

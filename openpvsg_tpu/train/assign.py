@@ -193,26 +193,28 @@ def lapjv_assign_from_cost(cost: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-@partial(jax.jit, static_argnames=("num_points", "method"))
-def hungarian_assign(
-    rng: jax.Array,
-    cls_pred: jnp.ndarray,      # (B, Q, K+1)
-    mask_pred: jnp.ndarray,     # (B, Q, T, H, W) logits
-    gt_labels: jnp.ndarray,     # (B, N) int32, padded
-    gt_masks: jnp.ndarray,      # (B, N, T, H, W) binary float
-    gt_valid: jnp.ndarray,      # (B, N) bool
-    num_points: int = 12544,
-    cls_weight: float = 2.0,
-    mask_weight: float = 5.0,
-    dice_weight: float = 5.0,
-    method: str = "hungarian",  # 'hungarian' (host LAP) | 'lapjv' (exact,
-                                # on-device) | 'greedy' (device, approx)
-) -> jnp.ndarray:
-    """Returns (B, Q) assigned target index (or -1). Clip masks are matched
-    as one tall (T*H, W) image exactly like the video head
-    (mask2former_video_head.py:162-194)."""
-    B, Q, T, H, W = mask_pred.shape
-    N = gt_labels.shape[1]
+def pool_masks(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Average-pool the trailing (H, W) of (..., T, H, W) by factor d.
+    Used to shrink the MATCHING-cost operands only (the losses always see
+    full resolution): the assignment is a discrete argmin over per-pair
+    mean costs, which is stable under 2-4x spatial pooling while cutting
+    the bandwidth-bound cost-matrix traffic by d^2 (PERF.md r4: the
+    assignment/loss traffic, not the backbone, caps train MFU)."""
+    if d == 1:
+        return x
+    *lead, T, H, W = x.shape
+    if H % d or W % d:
+        raise ValueError(
+            f"match_downsample={d} must divide the stride-4 mask grid "
+            f"({H}, {W}); pad sizes are /32 so 2, 4 and 8 always divide")
+    return x.reshape(*lead, T, H // d, d, W // d, d).mean(axis=(-1, -3))
+
+
+def _make_single(Q: int, T: int, N: int, num_points: int, cls_weight: float,
+                 mask_weight: float, dice_weight: float, method: str):
+    """Per-batch-item assignment fn (rng, cls, mask, labels, masks, valid)
+    -> (Q,) target index or -1; shared by the per-batch and the
+    layer-batched entry points below."""
 
     def single(rng, cls_p, mask_p, labels, masks, valid):
         if num_points <= 0:
@@ -224,7 +226,8 @@ def hungarian_assign(
             pts = jax.random.uniform(rng, (1, num_points, 2))
             # sample pred + target masks on the same uniform points;
             # tall-image layout (T*H, W)
-            mp = mask_p.reshape(Q, T * H, W)
+            Hp, Wp = mask_p.shape[-2:]
+            mp = mask_p.reshape(Q, T * Hp, Wp)
             Hm, Wm = masks.shape[-2:]
             mt = masks.reshape(N, T * Hm, Wm)
             mp_pts = point_sample(mp[..., None], jnp.broadcast_to(pts, (Q, num_points, 2)))[..., 0]
@@ -243,6 +246,78 @@ def hungarian_assign(
             vmap_method="sequential")
         return assigned
 
+    return single
+
+
+@partial(jax.jit, static_argnames=("num_points", "method", "match_downsample"))
+def hungarian_assign(
+    rng: jax.Array,
+    cls_pred: jnp.ndarray,      # (B, Q, K+1)
+    mask_pred: jnp.ndarray,     # (B, Q, T, H, W) logits
+    gt_labels: jnp.ndarray,     # (B, N) int32, padded
+    gt_masks: jnp.ndarray,      # (B, N, T, H, W) binary float
+    gt_valid: jnp.ndarray,      # (B, N) bool
+    num_points: int = 12544,
+    cls_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    method: str = "hungarian",  # 'hungarian' (host LAP) | 'lapjv' (exact,
+                                # on-device) | 'greedy' (device, approx)
+    match_downsample: int = 1,
+) -> jnp.ndarray:
+    """Returns (B, Q) assigned target index (or -1). Clip masks are matched
+    as one tall (T*H, W) image exactly like the video head
+    (mask2former_video_head.py:162-194). match_downsample > 1 average-pools
+    both mask operands before the cost (dense mode only)."""
+    B, Q, T, H, W = mask_pred.shape
+    N = gt_labels.shape[1]
+    if match_downsample != 1:
+        if num_points > 0:
+            raise ValueError("match_downsample requires dense matching "
+                             "(num_points <= 0 / loss_sampling='dense')")
+        mask_pred = pool_masks(mask_pred, match_downsample)
+        gt_masks = pool_masks(gt_masks.astype(jnp.float32), match_downsample)
+    single = _make_single(Q, T, N, num_points, cls_weight, mask_weight,
+                          dice_weight, method)
     rngs = jax.random.split(rng, B)
     return jax.vmap(single)(rngs, cls_pred, mask_pred, gt_labels,
                             gt_masks.astype(jnp.float32), gt_valid)
+
+
+@partial(jax.jit, static_argnames=("num_points", "method", "match_downsample"))
+def hungarian_assign_layers(
+    rngs: jnp.ndarray,          # (L, B, 2) uint32 — per (layer, item) keys
+    cls_preds: jnp.ndarray,     # (L, B, Q, K+1)
+    mask_preds: jnp.ndarray,    # (L, B, Q, T, H, W) logits
+    gt_labels: jnp.ndarray,     # (B, N)
+    gt_masks: jnp.ndarray,      # (B, N, T, H, W)
+    gt_valid: jnp.ndarray,      # (B, N)
+    num_points: int = 12544,
+    cls_weight: float = 2.0,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+    method: str = "hungarian",
+    match_downsample: int = 1,
+) -> jnp.ndarray:
+    """All decoder layers' assignments in ONE nested vmap -> (L, B, Q).
+
+    The device assigners (lapjv/greedy) are sequential lax loops; assigning
+    layer-by-layer serializes L such regions per step, while one lockstep
+    vmap over (L, B) pays only the longest augmentation sequence once
+    (exact — same costs, same per-(layer, item) rng as the per-layer path).
+    GT tensors broadcast over the layer axis via in_axes=None, so the
+    (B, N, T, H, W) masks are never materialized L times."""
+    L, B, Q, T, H, W = mask_preds.shape
+    N = gt_labels.shape[1]
+    if match_downsample != 1:
+        if num_points > 0:
+            raise ValueError("match_downsample requires dense matching "
+                             "(num_points <= 0 / loss_sampling='dense')")
+        mask_preds = pool_masks(mask_preds, match_downsample)
+        gt_masks = pool_masks(gt_masks.astype(jnp.float32), match_downsample)
+    single = _make_single(Q, T, N, num_points, cls_weight, mask_weight,
+                          dice_weight, method)
+    inner = jax.vmap(single)                      # over B (all args)
+    outer = jax.vmap(inner, in_axes=(0, 0, 0, None, None, None))  # over L
+    return outer(rngs, cls_preds, mask_preds, gt_labels,
+                 gt_masks.astype(jnp.float32), gt_valid)

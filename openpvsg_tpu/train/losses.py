@@ -117,29 +117,39 @@ def focal_cls_loss(cls_pred: jnp.ndarray, labels: jnp.ndarray,
     return weight * loss.sum() / num_pos
 
 
-def _assign_layer(rng, cls_pred, mask_pred, gt_labels, gt_masks, gt_valid,
-                  num_points, num_things_classes=None, num_queries_split=None,
-                  method="hungarian"):
-    """Hungarian assignment; optionally split thing/stuff query groups
+def _assign_all_layers(rng, cls_preds, mask_preds, gt_labels, gt_masks,
+                       gt_valid, num_points, num_things_classes=None,
+                       num_queries_split=None, method="hungarian",
+                       match_downsample=1):
+    """Hungarian assignment for EVERY decoder layer in one lockstep device
+    call -> (L, B, Q); optionally split thing/stuff query groups
     (reference: loss_split_thing_stuff, mask2former_video_head.py:547-610 —
-    the last num_stuff queries may only take stuff targets, the rest things)."""
-    from openpvsg_tpu.train.assign import hungarian_assign
+    the last num_stuff queries may only take stuff targets, the rest things).
 
+    rngs reproduce the per-layer path exactly: layer l, item b uses
+    split(split(fold_in(rng, l))[0], B)[b], the key the sequential loop
+    handed to hungarian_assign (unused in dense matching)."""
+    from openpvsg_tpu.train.assign import hungarian_assign_layers
+
+    L, B = cls_preds.shape[:2]
+    rngs = jnp.stack([
+        jax.random.split(jax.random.split(jax.random.fold_in(rng, l))[0], B)
+        for l in range(L)])                                   # (L, B, 2)
+    kw = dict(num_points=num_points, method=method,
+              match_downsample=match_downsample)
     if num_things_classes is None:
-        return hungarian_assign(rng, cls_pred, mask_pred, gt_labels, gt_masks,
-                                gt_valid, num_points=num_points, method=method)
-    Q = cls_pred.shape[1]
+        return hungarian_assign_layers(rngs, cls_preds, mask_preds,
+                                       gt_labels, gt_masks, gt_valid, **kw)
+    Q = cls_preds.shape[2]
     n_stuff_q = num_queries_split
     is_thing_tgt = gt_labels < num_things_classes
-    a_thing = hungarian_assign(
-        rng, cls_pred[:, :Q - n_stuff_q], mask_pred[:, :Q - n_stuff_q],
-        gt_labels, gt_masks, gt_valid & is_thing_tgt, num_points=num_points,
-        method=method)
-    a_stuff = hungarian_assign(
-        rng, cls_pred[:, Q - n_stuff_q:], mask_pred[:, Q - n_stuff_q:],
-        gt_labels, gt_masks, gt_valid & ~is_thing_tgt, num_points=num_points,
-        method=method)
-    return jnp.concatenate([a_thing, a_stuff], axis=1)
+    a_thing = hungarian_assign_layers(
+        rngs, cls_preds[:, :, :Q - n_stuff_q], mask_preds[:, :, :Q - n_stuff_q],
+        gt_labels, gt_masks, gt_valid & is_thing_tgt, **kw)
+    a_stuff = hungarian_assign_layers(
+        rngs, cls_preds[:, :, Q - n_stuff_q:], mask_preds[:, :, Q - n_stuff_q:],
+        gt_labels, gt_masks, gt_valid & ~is_thing_tgt, **kw)
+    return jnp.concatenate([a_thing, a_stuff], axis=2)
 
 
 def mask2former_loss(
@@ -158,6 +168,7 @@ def mask2former_loss(
     focal_gamma: float = 2.0,
     focal_alpha: float = 0.25,
     assigner: str = "hungarian",
+    match_downsample: int = 1,
     sem_seg_logits: jnp.ndarray | None = None,   # (B, T, H, W, K+1)
     gt_semantic: jnp.ndarray | None = None,      # (B, T, H, W) int32
     sem_seg_weight: float = 1.0,
@@ -173,22 +184,25 @@ def mask2former_loss(
     # global (cross-replica, since batch is sharded) gt count
     num_total_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
 
+    # assignment is non-differentiable (discrete match via LAP); gradients
+    # must not flow into the cost computation. All L layers are assigned in
+    # one lockstep vmap — the sequential JV augmentation loops then pay one
+    # region per step instead of L (exact; see hungarian_assign_layers)
+    assigned_all = _assign_all_layers(
+        rng,
+        jax.lax.stop_gradient(cls_preds),
+        jax.lax.stop_gradient(mask_preds),
+        gt_labels, gt_masks, gt_valid, num_points,
+        num_things_classes if split_thing_stuff else None,
+        num_stuff_classes if split_thing_stuff else None,
+        method=assigner, match_downsample=match_downsample)
+
     total = 0.0
     logs: Dict[str, jnp.ndarray] = {}
     for layer in range(L):
-        r_assign, r_pts = jax.random.split(jax.random.fold_in(rng, layer))
-        # assignment is non-differentiable (discrete match via host LAP);
-        # gradients must not flow into the cost computation
-        assigned = _assign_layer(
-            r_assign,
-            jax.lax.stop_gradient(cls_preds[layer]),
-            jax.lax.stop_gradient(mask_preds[layer]),
-            gt_labels, gt_masks, gt_valid, num_points,
-            num_things_classes if split_thing_stuff else None,
-            num_stuff_classes if split_thing_stuff else None,
-            method=assigner)
+        _, r_pts = jax.random.split(jax.random.fold_in(rng, layer))
         labels, tgt_masks, pos = gather_targets(
-            assigned, gt_labels, gt_masks, num_classes)
+            assigned_all[layer], gt_labels, gt_masks, num_classes)
         losses = mask2former_layer_loss(
             r_pts, cls_preds[layer], mask_preds[layer], labels, tgt_masks,
             pos, num_total_masks, num_classes, num_points=num_points, **kw)

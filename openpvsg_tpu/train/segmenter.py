@@ -148,6 +148,15 @@ def check_assigner_capacity(cfg: Mask2FormerConfig, max_instances: int,
             f"--max-instances, raise model.num_queries, or use "
             f"model.assigner='hungarian' (host callback; does not compile "
             f"on axon TPU) or 'greedy'.")
+    if cfg.match_downsample < 1:
+        raise ValueError(
+            f"model.match_downsample must be >= 1, got {cfg.match_downsample}")
+    if cfg.match_downsample != 1 and cfg.loss_sampling == "points":
+        raise ValueError(
+            "model.match_downsample > 1 requires loss_sampling='dense' "
+            "(point-rend matching already subsamples; pooling on top of it "
+            "would double-approximate). Set model.loss_sampling='dense' or "
+            "model.match_downsample=1.")
 
 
 @flax.struct.dataclass
@@ -204,6 +213,9 @@ class SegmenterTrainer:
         model = self.model
         tx = self.tx
         assigner = self.assigner = resolve_assigner(cfg)
+        if cfg.match_downsample < 1 or (cfg.match_downsample != 1
+                                        and cfg.loss_sampling == "points"):
+            check_assigner_capacity(cfg, 0)  # raises the config-time error
 
         mean = jnp.asarray(self.norm_mean, jnp.float32)
         std = jnp.asarray(self.norm_std, jnp.float32)
@@ -235,6 +247,7 @@ class SegmenterTrainer:
                 dice_weight=cfg.loss_dice_weight,
                 bg_cls_weight=cfg.bg_cls_weight,
                 assigner=assigner,
+                match_downsample=cfg.match_downsample,
                 split_thing_stuff=cfg.split_thing_stuff,
                 num_things_classes=cfg.num_things_classes,
                 num_stuff_classes=cfg.num_stuff_classes,
