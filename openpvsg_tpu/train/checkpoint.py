@@ -38,10 +38,18 @@ def save_checkpoint(path: str, state, step: int | None = None):
 
 
 def load_checkpoint(path: str, target=None):
+    import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
-    return ckpt.restore(os.path.abspath(path), target)
+    restored = ckpt.restore(os.path.abspath(path), target)
+    # Return HOST arrays: orbax restores jax arrays committed to device 0,
+    # and a committed single-device TrainState fed to a mesh-jitted step
+    # raises "incompatible devices" (fresh-init arrays are uncommitted, so
+    # the same jit places them replicated). Host arrays keep placement the
+    # consumer's jit's decision, matching fresh init on any mesh.
+    return jax.tree.map(np.asarray, restored)
 
 
 def check_no_extra_params(model, example, variables, where: str = "model"):

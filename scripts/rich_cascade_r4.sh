@@ -6,6 +6,10 @@
 # Usage: bash scripts/rich_cascade_r4.sh [ROOT]
 # Stage 1/2/4 run on the default platform (TPU under axon); PQ/VPQ and
 # protocol evals run on CPU (OPENPVSG_PLATFORM=cpu) to keep the chip free.
+#
+# IDEMPOTENT: every stage writes a done_<stage> marker and is skipped on
+# re-run; stage-1 training auto-resumes from the latest epoch checkpoint
+# (the driver environment can kill long sessions — just re-run the script).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -39,42 +43,58 @@ for BK in r26 swin; do
   fi
   W=$ROOT/$BK
   mkdir -p "$W"
-
-  echo "=== [$BK] pack cache ==="
-  OPENPVSG_PLATFORM=cpu python tools/pack_train_cache.py --config $CFG \
-    --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
-    --out "$W/packed" --set $OVR
-
-  echo "=== [$BK] stage 1: train $EPOCHS epochs ==="
-  python tools/train.py --config $CFG --data-dir "$D" \
-    --anno-file "$D/pvsg.json" --work-dir "$W" --packed-cache "$W/packed" \
-    --epochs "$EPOCHS" --max-instances 10 --set $OVR \
-    > "$W/train.log" 2>&1
   CKPT=$W/$NAME/epoch_$EPOCHS
   CFGJSON=$W/$NAME/config.json
 
-  echo "=== [$BK] stage 1 eval: PQ + VPQ (CPU) ==="
-  OPENPVSG_PLATFORM=cpu python tools/test.py --config "$CFGJSON" \
-    --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
-    --checkpoint "$CKPT" --split val --eval PQ > "$W/eval_pq.log" 2>&1
-  OPENPVSG_PLATFORM=cpu python tools/test.py --config "$CFGJSON" \
-    --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
-    --checkpoint "$CKPT" --split val --eval VPQ > "$W/eval_vpq.log" 2>&1
+  if [ ! -f "$W/done_pack" ]; then
+    echo "=== [$BK] pack cache ==="
+    OPENPVSG_PLATFORM=cpu python tools/pack_train_cache.py --config $CFG \
+      --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
+      --out "$W/packed" --set $OVR
+    touch "$W/done_pack"
+  fi
+
+  if [ ! -f "$W/done_train" ]; then
+    echo "=== [$BK] stage 1: train $EPOCHS epochs ==="
+    rm -rf "$W/$NAME"/epoch_*.orbax-checkpoint-tmp
+    python tools/train.py --config $CFG --data-dir "$D" \
+      --anno-file "$D/pvsg.json" --work-dir "$W" --packed-cache "$W/packed" \
+      --epochs "$EPOCHS" --max-instances 10 --auto-resume --set $OVR \
+      >> "$W/train.log" 2>&1
+    touch "$W/done_train"
+  fi
+
+  if [ ! -f "$W/done_eval1" ]; then
+    echo "=== [$BK] stage 1 eval: PQ + VPQ (CPU) ==="
+    OPENPVSG_PLATFORM=cpu python tools/test.py --config "$CFGJSON" \
+      --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
+      --checkpoint "$CKPT" --split val --eval PQ > "$W/eval_pq.log" 2>&1
+    OPENPVSG_PLATFORM=cpu python tools/test.py --config "$CFGJSON" \
+      --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
+      --checkpoint "$CKPT" --split val --eval VPQ > "$W/eval_vpq.log" 2>&1
+    touch "$W/done_eval1"
+  fi
   tail -3 "$W/eval_pq.log" "$W/eval_vpq.log" || true
 
-  echo "=== [$BK] stage 2: tube extraction (train + val) ==="
-  for SPLIT in train val; do
-    python tools/prepare_query_tube_vps.py --config "$CFGJSON" \
-      --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
-      --checkpoint "$CKPT" --split $SPLIT > "$W/qf_$SPLIT.log" 2>&1
-  done
+  if [ ! -f "$W/done_tubes" ]; then
+    echo "=== [$BK] stage 2: tube extraction (train + val) ==="
+    for SPLIT in train val; do
+      python tools/prepare_query_tube_vps.py --config "$CFGJSON" \
+        --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
+        --checkpoint "$CKPT" --split $SPLIT > "$W/qf_$SPLIT.log" 2>&1
+    done
+    touch "$W/done_tubes"
+  fi
 
-  echo "=== [$BK] stage 3: relation set (train + val) ==="
-  for SPLIT in train val; do
-    OPENPVSG_PLATFORM=cpu python tools/prepare_rel_set.py --data-dir "$D" \
-      --anno-file "$D/pvsg.json" --work-dir "$W" --split $SPLIT \
-      > "$W/relset_$SPLIT.log" 2>&1
-  done
+  if [ ! -f "$W/done_relset" ]; then
+    echo "=== [$BK] stage 3: relation set (train + val) ==="
+    for SPLIT in train val; do
+      OPENPVSG_PLATFORM=cpu python tools/prepare_rel_set.py --data-dir "$D" \
+        --anno-file "$D/pvsg.json" --work-dir "$W" --split $SPLIT \
+        > "$W/relset_$SPLIT.log" 2>&1
+    done
+    touch "$W/done_relset"
+  fi
 
   echo "=== [$BK] stages 4+5: relation heads ==="
   for HEAD in transformer conv_interact; do
@@ -88,18 +108,21 @@ relation.encoder_layers=3 relation.encoder_ffn=1024 \
 relation.temporal_layers=2 relation.temporal_heads=8 \
 relation.temporal_ffn=1024"
     fi
-    python tools/rel_train.py --model-name $MN --ps-type vps \
-      --epochs "$REL_EPOCHS" --data-dir "$D" --anno-file "$D/pvsg.json" \
-      --work-dir "$W" --set $HOVR > "$W/rel_train_$HEAD.log" 2>&1
-    RC=$W/relation/rel_vps_${MN}_lr0.0001/epoch_$REL_EPOCHS
-    OPENPVSG_PLATFORM=cpu python tools/rel_test.py --checkpoint "$RC" \
-      --model-name $MN --split val --data-dir "$D" \
-      --anno-file "$D/pvsg.json" --work-dir "$W" --set $HOVR \
-      > "$W/rel_test_$HEAD.log" 2>&1
-    OPENPVSG_PLATFORM=cpu python tools/rel_test_full.py --checkpoint "$RC" \
-      --model-name $MN --split val --data-dir "$D" \
-      --anno-file "$D/pvsg.json" --work-dir "$W" --set $HOVR \
-      --mark "${BK}_${HEAD}" > "$W/rel_test_full_$HEAD.log" 2>&1
+    if [ ! -f "$W/done_rel_$HEAD" ]; then
+      python tools/rel_train.py --model-name $MN --ps-type vps \
+        --epochs "$REL_EPOCHS" --data-dir "$D" --anno-file "$D/pvsg.json" \
+        --work-dir "$W" --set $HOVR > "$W/rel_train_$HEAD.log" 2>&1
+      RC=$W/relation/rel_vps_${MN}_lr0.0001/epoch_$REL_EPOCHS
+      OPENPVSG_PLATFORM=cpu python tools/rel_test.py --checkpoint "$RC" \
+        --model-name $MN --split val --data-dir "$D" \
+        --anno-file "$D/pvsg.json" --work-dir "$W" --set $HOVR \
+        > "$W/rel_test_$HEAD.log" 2>&1
+      OPENPVSG_PLATFORM=cpu python tools/rel_test_full.py --checkpoint "$RC" \
+        --model-name $MN --split val --data-dir "$D" \
+        --anno-file "$D/pvsg.json" --work-dir "$W" --set $HOVR \
+        --mark "${BK}_${HEAD}" > "$W/rel_test_full_$HEAD.log" 2>&1
+      touch "$W/done_rel_$HEAD"
+    fi
     echo "--- [$BK/$HEAD] proxy ---"; tail -12 "$W/rel_test_$HEAD.log"
     echo "--- [$BK/$HEAD] protocol ---"; tail -12 "$W/rel_test_full_$HEAD.log"
   done

@@ -83,6 +83,50 @@ def test_train_cli_steps(data_root, tmp_path, preset):
     assert ckpts, f"no checkpoint saved; {os.listdir(os.path.join(work_dir, preset))}"
 
 
+def test_train_cli_auto_resume_continues_epochs(data_root, tmp_path):
+    """--auto-resume must CONTINUE at the epoch after the newest checkpoint
+    (r4: resume previously restored state.step but replayed every epoch
+    from 0, retraining — and overwriting — completed checkpoints)."""
+    work_dir = str(tmp_path / "work" / "resume")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", OPENPVSG_PLATFORM="cpu")
+
+    def run(epochs):
+        cmd = [
+            sys.executable, os.path.join(REPO, "tools", "train.py"),
+            "--config", "mask2former_ips",
+            "--data-dir", data_root,
+            "--anno-file", os.path.join(data_root, "pvsg.json"),
+            "--work-dir", work_dir,
+            "--epochs", str(epochs),
+            "--max-instances", "4",
+            "--auto-resume",
+            "--set",
+            "model.backbone.depth=26", "model.num_queries=8",
+            "model.num_things_classes=3", "model.num_stuff_classes=2",
+            "model.pixel_decoder.encoder_layers=1",
+            "model.decoder.num_layers=2", "data.train_scale=48,64",
+            "data.crop_size=48,64", "train.samples_per_gpu=4",
+            "train.log_interval=1", "train.warmup_iters=1",
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=850, env=env, cwd=REPO)
+        assert proc.returncode == 0, (proc.stderr[-3000:],
+                                      proc.stdout[-1000:])
+        return proc.stderr + proc.stdout
+
+    run(1)
+    ck = os.path.join(work_dir, "mask2former_ips")
+    assert os.path.isdir(os.path.join(ck, "epoch_1"))
+    mtime1 = os.path.getmtime(os.path.join(ck, "epoch_1"))
+    out = run(2)
+    assert "resumed from" in out and "epoch 1)" in out, out[-2000:]
+    # epoch 0 was NOT replayed: epoch_1 untouched, epoch_2 created, and
+    # the second run logged only epoch-1 steps
+    assert os.path.isdir(os.path.join(ck, "epoch_2"))
+    assert os.path.getmtime(os.path.join(ck, "epoch_1")) == mtime1
+    assert "epoch 0 step" not in out
+
+
 def test_config_roundtrip_all_presets(tmp_path):
     """save_config/load_config_file must reproduce every preset exactly
     (json has no tuples — sequence fields are re-tupled on load)."""

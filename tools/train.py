@@ -154,9 +154,18 @@ def main():
             if d.startswith("epoch_") and d.split("_")[1].isdigit())
         if epochs_found:
             resume_path = os.path.join(work_dir, epochs_found[-1][1])
+    start_epoch = 0
     if resume_path:
         trainer.state = load_checkpoint(resume_path, trainer.state)
-        logger.info(f"resumed from {resume_path} (step {int(trainer.state.step)})")
+        base = os.path.basename(os.path.normpath(resume_path))
+        if base.startswith("epoch_") and base.split("_")[1].isdigit():
+            # epoch_N was saved AFTER epoch index N-1 finished -> continue
+            # at epoch index N. The data-order rng is fast-forwarded to
+            # stay deterministic; the per-step jax key stream diverges from
+            # an uninterrupted run (folded by start epoch, documented).
+            start_epoch = int(base.split("_")[1])
+        logger.info(f"resumed from {resume_path} "
+                    f"(step {int(trainer.state.step)}, epoch {start_epoch})")
 
     aug = TrainAugmentor(cfg.data, cfg.train.seed)
     key = jax.random.PRNGKey(cfg.train.seed)
@@ -206,7 +215,11 @@ def main():
     metrics_logger = MetricsLogger(work_dir, use_wandb=args.wandb)
 
     step = int(trainer.state.step)
-    for epoch in range(epochs):
+    for _ in range(start_epoch):
+        rng.permutation(n_samples)  # keep the data-order stream aligned
+    if start_epoch:
+        key = jax.random.fold_in(key, start_epoch)
+    for epoch in range(start_epoch, epochs):
         loader = PrefetchLoader(
             make_valid_sample, rng.permutation(n_samples), batch,
             collate=lambda ss: pad_targets(ss, args.max_instances),
