@@ -207,12 +207,16 @@ def main():
                         "scales with N via the dense QxN loss matrices)")
     p.add_argument("--peak-tflops", type=float, default=None)
     p.add_argument("--peak-gbps", type=float, default=None)
+    p.add_argument("--set", nargs="*", default=[], metavar="KEY=VALUE",
+                   help="dotted config overrides, e.g. "
+                        "model.match_downsample=2 (A/B of matching knobs)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
     import jax
 
-    from openpvsg_tpu.config import mask2former_vps
+    from openpvsg_tpu.config import (apply_overrides, mask2former_vps,
+                                     parse_set_args)
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
@@ -223,7 +227,7 @@ def main():
     if args.peak_gbps:
         peak_gbps = args.peak_gbps
 
-    cfg = mask2former_vps()
+    cfg = apply_overrides(mask2former_vps(), parse_set_args(args.set))
     if on_tpu:
         # match the serving/r3 operating point: bf16 compute (PERF.md r2/r3
         # train-step numbers are bf16; fp32 would halve the MXU rate and
