@@ -30,7 +30,7 @@ def test_focal_cls_loss_finite(rng):
 
 def test_split_thing_stuff_assignment(rng):
     """Stuff targets must land on the tail queries, things on the head."""
-    from openpvsg_tpu.train.losses import _assign_layer
+    from openpvsg_tpu.train.losses import _assign_all_layers
 
     B, Q, T, H, W = 1, 6, 1, 16, 16
     n_things, n_stuff_q = 2, 2
@@ -44,12 +44,12 @@ def test_split_thing_stuff_assignment(rng):
     cls_pred = np.zeros((B, Q, 5), np.float32)
     cls_pred[0, 0, 0] = 8.0
     cls_pred[0, 5, 3] = 8.0
-    assigned = _assign_layer(
-        jax.random.PRNGKey(0), jnp.asarray(cls_pred),
-        jnp.asarray(mask_pred), gt_labels, jnp.asarray(gt_masks),
+    assigned = _assign_all_layers(
+        jax.random.PRNGKey(0), jnp.asarray(cls_pred)[None],
+        jnp.asarray(mask_pred)[None], gt_labels, jnp.asarray(gt_masks),
         jnp.ones((1, 2), bool), num_points=64,
         num_things_classes=n_things, num_queries_split=n_stuff_q)
-    a = np.asarray(assigned)[0]
+    a = np.asarray(assigned)[0, 0]
     assert a[0] == 0           # thing target on a head query
     assert a[5] == 1           # stuff target on a tail query
     # no stuff target ever lands in the head block and vice versa
