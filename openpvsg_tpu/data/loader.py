@@ -87,8 +87,11 @@ class PrefetchLoader:
                                 "samples) padded by repeating samples — "
                                 "training distribution is skewed if this "
                                 "is frequent", len(samples), step)
+                        n_valid = len(samples)
                         while len(samples) < step:
-                            samples.append(samples[len(samples) % len(samples)])
+                            # cycle through the valid samples rather than
+                            # repeating the first one (VERDICT r4 weak #2)
+                            samples.append(samples[len(samples) % n_valid])
                         if not put(("batch", self.collate(samples))):
                             return
                 put(_END)

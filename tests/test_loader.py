@@ -81,6 +81,22 @@ def test_loader_short_batch_warns(caplog):
     assert any("short batch" in r.message for r in caplog.records)
 
 
+def test_loader_short_batch_pad_rotates():
+    """Padding must CYCLE the valid samples, not repeat the first one
+    (VERDICT r4 weak #2: `samples[len(samples) % len(samples)]` was a
+    constant-0 index)."""
+    def make(i):
+        return None if i >= 3 else {"x": np.full((1,), i)}
+
+    def collate(samples):
+        return np.stack([s["x"] for s in samples])
+
+    loader = PrefetchLoader(make, list(range(8)), 8, collate, num_workers=2)
+    (batch,) = list(loader)
+    # 3 valid samples (0,1,2) padded to 8 by cycling: 0 1 2 0 1 2 0 1
+    assert batch[:, 0].tolist() == [0, 1, 2, 0, 1, 2, 0, 1]
+
+
 def test_loader_early_exit_no_hang():
     """Abandoning the iterator mid-epoch must not leave the producer
     blocked on a full queue."""
