@@ -223,6 +223,161 @@ def stress_streaming(report, on_tpu, total_frames=2000, n_tubes=50,
     print(f"streaming: {report['streaming']}", flush=True)
 
 
+def stress_stage3_protocol(report, sections, root, n_frames=380, h=360,
+                           w=640, max_things=18, seed=0):
+    """Host-side stages 3 + 5 at the reference operating point (VERDICT r4
+    next-round #4): one ~380-frame video with real (H, W) masks, oracle
+    stage-2 tubes, then time
+
+      stage3  — tools/prepare_rel_set's `run_rel_set` (masks.txt RLE decode,
+                GT PNG decode, C++ per-frame IoU matching, relation
+                translation, relations.pickle write), per-video seconds;
+      protocol — tools/rel_test_full's `evaluate_full` (ranked-triplet
+                forward + mask-grounded vIoU against raw GT), per-video
+                seconds, with the vIoU loop instrumented.
+
+    The reference's evaluator re-reads GT mask PNGs from disk for every
+    (relation, prediction) pair (/root/reference/utils/rel_metrics.py:59-115
+    — `Image.open` inside `calculate_viou`'s frame loop); the rebuild
+    decodes each video's GT tube ONCE (`GtTubeCache`). The report includes
+    `naive_reread_estimate_s` = (GT-frame lookups the vIoU loop performed)
+    × (measured per-frame PNG decode cost) so the avoided cost is explicit.
+
+    Runs on the host (1 core); invoke with OPENPVSG_PLATFORM=cpu so the
+    protocol's relation forward does not wait on a TPU compile.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openpvsg_tpu.config import RelationHeadConfig
+    from openpvsg_tpu.data import io as data_io
+    from openpvsg_tpu.data.datasets import PVSGRelationDataset
+    from openpvsg_tpu.data.pipeline import load_mask
+    from openpvsg_tpu.data.pvsg import PVSGRelationAnnotation, frame_paths
+    from openpvsg_tpu.data.synthetic import make_dataset, write_oracle_stage2
+    from openpvsg_tpu.eval.relation_matching import (
+        compact_matching_dict, match_gt_tubes, translate_gt_relations)
+    from openpvsg_tpu.infer.stages import run_rel_set
+
+    split = "val"
+    anno_file = os.path.join(root, "pvsg.json")
+    if not os.path.exists(anno_file):
+        print(f"stage3: generating {n_frames}-frame {h}x{w} video under "
+              f"{root} (setup, unmeasured; reuses on re-run)", flush=True)
+        make_dataset(root, n_train=0, n_val=1, n_frames=n_frames, h=h, w=w,
+                     seed=seed, style="rich", max_things=max_things)
+    anno = PVSGRelationAnnotation(anno_file, split)
+    vid = anno.split_video_ids[0]
+    info = anno[vid]
+    work_dir = os.path.join(root, "work")
+    qf_dir = os.path.join(work_dir, f"{split}_save_qf")
+    masks_txt = os.path.join(qf_dir, vid, "quantitive", "masks.txt")
+
+    t0 = time.perf_counter()
+    if not os.path.exists(masks_txt):
+        write_oracle_stage2(root, anno_file, work_dir, split, seed=seed)
+    oracle_s = time.perf_counter() - t0
+
+    s3 = {"video": vid, "frames": n_frames, "h": h, "w": w,
+          "n_gt_objects": len(info["objects"]),
+          "n_gt_relations": len(info["relations"]),
+          "oracle_stage2_s": round(oracle_s, 1)}
+
+    # component breakdown (same calls run_rel_set makes, timed separately)
+    t0 = time.perf_counter()
+    pred_tubes = data_io.get_pred_mask_tubes(masks_txt)
+    s3["rle_decode_s"] = round(time.perf_counter() - t0, 2)
+    s3["n_pred_tubes"] = len(pred_tubes)
+    t0 = time.perf_counter()
+    gt_pan = np.stack([load_mask(p)
+                       for p in frame_paths(root, vid, "masks")])
+    s3["gt_decode_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    matching = match_gt_tubes(gt_pan, info["objects"], pred_tubes)
+    s3["match_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    translated = translate_gt_relations(compact_matching_dict(matching),
+                                        info["relations"])
+    s3["translate_s"] = round(time.perf_counter() - t0, 3)
+    s3["n_translated_relations"] = len(translated)
+    del gt_pan, pred_tubes
+
+    # the real stage-3 surface end-to-end (re-does all of the above + the
+    # query-feat join + relations.pickle write)
+    t0 = time.perf_counter()
+    out = run_rel_set(vid, qf_dir, anno, root)
+    s3["rel_set_s"] = round(time.perf_counter() - t0, 2)
+    assert out is not None, "run_rel_set produced no relations.pickle"
+    report["stage3"] = s3
+    print(f"stage3: {s3}", flush=True)
+
+    if "protocol" not in sections:
+        return
+
+    from openpvsg_tpu.eval import rel_full_eval
+    from openpvsg_tpu.eval.rel_eval import evaluate_video
+    from openpvsg_tpu.eval.rel_full_eval import evaluate_full
+    from openpvsg_tpu.models.relation.heads import RelationModel
+
+    cfg = RelationHeadConfig(num_relations=len(anno.relations))
+    model = RelationModel.from_config(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 4, 256)),
+                        jnp.zeros((2, 4, 512)))["params"]
+    ds = PVSGRelationDataset(anno_file, split, qf_dir, return_mask=True)
+    assert len(ds) > 0, "no relations.pickle found — stage3 must run first"
+
+    # forward-only cost at this scale (compile excluded via a warm-up)
+    item = ds[0]
+    feats = np.asarray(item["feats"], np.float32)
+    evaluate_video(model, params, feats, num_top_pairs=100, pairwise=False)
+    t0 = time.perf_counter()
+    _, results = evaluate_video(model, params, feats, num_top_pairs=100,
+                                pairwise=False)
+    forward_s = time.perf_counter() - t0
+
+    # instrument the vIoU loop: call count, time inside, GT-frame lookups
+    stats = {"calls": 0, "s": 0.0, "gt_frame_lookups": 0}
+    orig_viou = rel_full_eval.calculate_viou
+
+    def counting_viou(gt_set, pred_set, gt_tubes):
+        t0 = time.perf_counter()
+        r = orig_viou(gt_set, pred_set, gt_tubes)
+        stats["s"] += time.perf_counter() - t0
+        stats["calls"] += 1
+        stats["gt_frame_lookups"] += sum(
+            min(e + 1, len(gt_tubes)) - min(s, len(gt_tubes))
+            for s, e in gt_set[2])
+        return r
+
+    rel_full_eval.calculate_viou = counting_viou
+    try:
+        t0 = time.perf_counter()
+        evaluate_full(model, params, (ds[i] for i in range(len(ds))), anno,
+                      root, num_top_pairs=100)
+        protocol_s = time.perf_counter() - t0
+    finally:
+        rel_full_eval.calculate_viou = orig_viou
+
+    per_frame_decode_s = s3["gt_decode_s"] / n_frames
+    report["protocol"] = {
+        "videos": len(ds), "num_top_pairs": 100,
+        "n_ranked_results": len(results),
+        "forward_s_per_video": round(forward_s, 2),
+        "protocol_s_per_video": round(protocol_s / len(ds), 2),
+        "viou_calls": stats["calls"],
+        "viou_s_total": round(stats["s"], 2),
+        "viou_gt_frame_lookups": stats["gt_frame_lookups"],
+        "gt_decode_once_s": s3["gt_decode_s"],
+        # what the reference-style per-pair PNG re-read would add: every
+        # vIoU GT-frame lookup hits the filesystem, 2 PNGs (sub+obj map is
+        # one id-map decode in our format, 2 in the reference's per-object
+        # files — count 1 to stay conservative)
+        "naive_reread_estimate_s": round(
+            stats["gt_frame_lookups"] * per_frame_decode_s, 1),
+    }
+    print(f"protocol: {report['protocol']}", flush=True)
+
+
 def stress_stage2(report, cfg, videos, on_tpu, window=4, pipeline_depth=2):
     """Long-video VPS stage 2 on the chip: wall, fps, outputs."""
     import jax
@@ -258,7 +413,14 @@ def stress_stage2(report, cfg, videos, on_tpu, window=4, pipeline_depth=2):
 def main():
     p = argparse.ArgumentParser(description="Reference-scale stress")
     p.add_argument("--sections", default="relation,streaming",
-                   help="comma list of relation,streaming,stage2")
+                   help="comma list of relation,streaming,stage2,"
+                        "stage3,protocol")
+    p.add_argument("--s3-root", default="work_dirs/stress_s3",
+                   help="stage3/protocol: dir for the generated "
+                        "reference-scale video (reused if present)")
+    p.add_argument("--s3-frames", type=int, default=380)
+    p.add_argument("--s3-size", type=int, nargs=2, default=(360, 640))
+    p.add_argument("--s3-max-things", type=int, default=18)
     p.add_argument("--data-dir", default=None)
     p.add_argument("--anno-file", default=None)
     p.add_argument("--work-dir", default="work_dirs")
@@ -283,6 +445,11 @@ def main():
         stress_streaming(report, on_tpu,
                          total_frames=args.frames if on_tpu else 400,
                          device_history=not args.host_history)
+    if "stage3" in sections or "protocol" in sections:
+        stress_stage3_protocol(report, sections, args.s3_root,
+                               n_frames=args.s3_frames,
+                               h=args.s3_size[0], w=args.s3_size[1],
+                               max_things=args.s3_max_things)
     if "stage2" in sections:
         if not (args.data_dir and args.anno_file):
             raise SystemExit("stage2 needs --data-dir/--anno-file with a "
