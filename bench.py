@@ -71,10 +71,26 @@ def _run():
     x0 = jnp.zeros((1, T, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0)
 
+    quant = _os.environ.get("OPENPVSG_BENCH_INT8") == "1"
+    if quant:
+        # A/B toggle for weights-only int8 serving (utils/quantize.py):
+        # backbone + pixel-decoder kernels stored int8, dequantized in the
+        # loop BODY with a carry-dependent scale so licm cannot hoist the
+        # dequant out of the timing loop (see dequantize_tree docstring).
+        from openpvsg_tpu.utils.quantize import (dequantize_tree,
+                                                 quantize_tree_int8)
+
+        variables, _n_q, _saved = quantize_tree_int8(
+            variables, scopes=("backbone", "pixel_decoder"))
+
     @jax.jit
     def chain(variables, images, iters):
         def body(i, carry):
-            out = model.apply(variables, images + carry * 1e-12)
+            v = variables
+            if quant:
+                v = dequantize_tree(variables, dtype,
+                                    scale_mul=1.0 + carry * 0.0)
+            out = model.apply(v, images + carry * 1e-12)
             return out["mask_preds"][-1].mean().astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 

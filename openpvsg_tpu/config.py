@@ -96,6 +96,11 @@ class Mask2FormerConfig:
     # 2-4x pooling, and the cost matrices are the bandwidth-bound part of
     # the train step (PERF.md r4 MFU) — 1 = exact reference semantics.
     match_downsample: int = 1
+    # serving-only: store backbone + pixel-decoder kernels int8 in HBM with
+    # per-output-channel scales, dequantized inside the jitted forward
+    # (utils/quantize.py — weights-only; PERF.md r5 records the measured
+    # f/s + PQ deltas). Ignored by training.
+    int8_weights: bool = False
     num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75

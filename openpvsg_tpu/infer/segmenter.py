@@ -78,7 +78,8 @@ class SegmenterInference:
 
     def __init__(self, cfg: Mask2FormerConfig, variables,
                  dtype=jnp.float32, mesh=None, pad_divisor: int = 32,
-                 fold_bn: bool = True, fused_fpn: Optional[bool] = None):
+                 fold_bn: bool = True, fused_fpn: Optional[bool] = None,
+                 int8_weights: Optional[bool] = None):
         import dataclasses
 
         # Serving-graph optimization: fold inference-mode BN affines into
@@ -117,6 +118,20 @@ class SegmenterInference:
         check_no_extra_params(self.model,
                               jnp.zeros((1, 1, 64, 64, 3), jnp.float32),
                               variables, where="SegmenterInference")
+        # Weights-only int8 serving (opt-in; utils/quantize.py docstring has
+        # the roofline scoping). None = follow cfg.int8_weights; fold_bn has
+        # already merged BN affines so the folded kernels are what quantize.
+        self._int8 = (getattr(cfg, "int8_weights", False)
+                      if int8_weights is None else int8_weights)
+        if self._int8:
+            from openpvsg_tpu.utils.quantize import quantize_tree_int8
+
+            variables, n_q, saved = quantize_tree_int8(
+                variables, scopes=("backbone", "pixel_decoder"))
+            import logging
+            logging.getLogger(__name__).info(
+                "int8 weights: %d kernels quantized, %.1f MB HBM saved",
+                n_q, saved / 1e6)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -131,6 +146,10 @@ class SegmenterInference:
         """frames: (N, H, W, 3) uint8 raw (or float pre-normalized+padded);
         each frame independent (T=1). Returns (cls (N, Q, K+1),
         masks (N, Q, Hp/4, Wp/4), query (N, Q, C))."""
+        if self._int8:
+            from openpvsg_tpu.utils.quantize import dequantize_tree
+
+            variables = dequantize_tree(variables, self.model.dtype)
         if frames.dtype == jnp.uint8:
             x = frames.astype(jnp.float32)
             x = (x - jnp.asarray(self.MEAN)) / jnp.asarray(self.STD)
