@@ -96,6 +96,14 @@ class Mask2FormerConfig:
     # 2-4x pooling, and the cost matrices are the bandwidth-bound part of
     # the train step (PERF.md r4 MFU) — 1 = exact reference semantics.
     match_downsample: int = 1
+    # dtype of the per-layer full-res mask LOGITS (and, in the trainer, of
+    # the binary GT masks — exact for 0/1 values). 'float32' = reference
+    # semantics; 'bfloat16' halves the single largest train-step HBM tensor
+    # (the (L, B, Q, T, H/4, W/4) deep-supervision logits + its gradient)
+    # — einsum accumulation stays f32 (preferred_element_type) and every
+    # loss reduction accumulates f32 (train/losses.py), so only the HBM
+    # round-trip is bf16. A/B'd in PERF.md r5.
+    mask_logits_dtype: str = "float32"
     # serving-only: store backbone + pixel-decoder kernels int8 in HBM with
     # per-output-channel scales, dequantized inside the jitted forward
     # (utils/quantize.py — weights-only; PERF.md r5 records the measured

@@ -112,9 +112,19 @@ class Mask2FormerHead(nn.Module):
             out = decoder_norm(q)
             return cls_embed(out), mask_embed(out), out
 
+        # mask logits: f32 MXU accumulation always; storage dtype follows
+        # cfg.mask_logits_dtype (bf16 halves the train step's largest HBM
+        # tensor — the (L, B, Q, T, H, W) deep-supervision stack; see the
+        # config knob's docstring)
+        logits_dtype = (jnp.bfloat16
+                        if getattr(cfg, "mask_logits_dtype",
+                                   "float32") == "bfloat16"
+                        else jnp.float32)
+
         def full_masks(membed):
-            return jnp.einsum("bqc,bthwc->bqthw", membed, mask_features,
-                              preferred_element_type=jnp.float32)
+            out = jnp.einsum("bqc,bthwc->bqthw", membed, mask_features,
+                             preferred_element_type=jnp.float32)
+            return out.astype(logits_dtype)
 
         def attn_mask_for(membed, lvl):
             # logits at level resolution, exactly == resize(full einsum)

@@ -56,8 +56,11 @@ def mask_bce_cost(mask_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> jnp.ndarray:
     P = mask_pts.shape[1]
     pos = jax.nn.log_sigmoid(mask_pts)      # (Q, P)
     neg = jax.nn.log_sigmoid(-mask_pts)
-    # BCE(q, n) = -[tgt_n · pos_q + (1 - tgt_n) · neg_q] averaged over P
-    cost = -(pos @ tgt_pts.T + neg @ (1.0 - tgt_pts).T)
+    # BCE(q, n) = -[tgt_n · pos_q + (1 - tgt_n) · neg_q] averaged over P;
+    # f32 accumulation regardless of operand storage dtype (bf16 knob)
+    cost = -(jnp.matmul(pos, tgt_pts.T, preferred_element_type=jnp.float32)
+             + jnp.matmul(neg, (1.0 - tgt_pts).T,
+                          preferred_element_type=jnp.float32))
     return cost / P
 
 
@@ -66,8 +69,10 @@ def dice_cost(mask_pts: jnp.ndarray, tgt_pts: jnp.ndarray,
     """Pairwise dice cost with sigmoid activation (mmdet DiceCost,
     pred_act=True, naive_dice)."""
     pred = jax.nn.sigmoid(mask_pts)
-    numer = 2.0 * (pred @ tgt_pts.T)
-    denom = pred.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+    numer = 2.0 * jnp.matmul(pred, tgt_pts.T,
+                             preferred_element_type=jnp.float32)
+    denom = (pred.sum(-1, dtype=jnp.float32)[:, None]
+             + tgt_pts.sum(-1, dtype=jnp.float32)[None, :])
     return -(numer + eps) / (denom + eps)
 
 

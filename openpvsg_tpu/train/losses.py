@@ -74,8 +74,11 @@ def mask2former_layer_loss(
     # coordinates (the reference samples full-res GT vs stride-4 preds).
     Hm, Wm = tgt_masks.shape[-2:]
     if num_points <= 0:
+        # dense mode keeps the operands' storage dtype (bf16 when the
+        # mask_logits_dtype knob is on — binary targets are exact in bf16);
+        # every reduction below accumulates f32 explicitly
         mp_pts = mask_pred.reshape(B * Q, -1)
-        mt_pts = tgt_masks.reshape(B * Q, -1).astype(jnp.float32)
+        mt_pts = tgt_masks.reshape(B * Q, -1)
         num_points = mp_pts.shape[-1]
     else:
         mp = mask_pred.reshape(B * Q, T * H, W)
@@ -88,12 +91,13 @@ def mask2former_layer_loss(
     posw = pos.reshape(B * Q, 1).astype(jnp.float32)
 
     bce = jnp.maximum(mp_pts, 0) - mp_pts * mt_pts + jnp.log1p(jnp.exp(-jnp.abs(mp_pts)))
-    loss_mask = mask_weight * (bce * posw).sum() / jnp.maximum(
+    loss_mask = mask_weight * (bce * posw).sum(dtype=jnp.float32) / jnp.maximum(
         num_total_masks * num_points, 1.0)
 
     pred = jax.nn.sigmoid(mp_pts)
-    numer = 2.0 * (pred * mt_pts).sum(-1)
-    denom = pred.sum(-1) + mt_pts.sum(-1)
+    numer = 2.0 * (pred * mt_pts).sum(-1, dtype=jnp.float32)
+    denom = (pred.sum(-1, dtype=jnp.float32)
+             + mt_pts.sum(-1, dtype=jnp.float32))
     dice = 1.0 - (numer + 1.0) / (denom + 1.0)
     loss_dice = dice_weight * (dice * posw[:, 0]).sum() / jnp.maximum(
         num_total_masks, 1.0)

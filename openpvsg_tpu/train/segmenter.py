@@ -234,9 +234,15 @@ class SegmenterTrainer:
             out, new_vars = model.apply(variables, images,
                                         mutable=mutable) if mutable else (
                 model.apply(variables, images), {})
+            # GT masks are binary — bf16 represents 0/1 exactly, so when the
+            # mask-logits knob is on the targets ride HBM at half width too
+            # (loss reductions still accumulate f32, train/losses.py)
+            gt_dtype = (jnp.bfloat16
+                        if cfg.mask_logits_dtype == "bfloat16"
+                        else jnp.float32)
             loss, logs = mask2former_loss(
                 rng, out["cls_preds"], out["mask_preds"],
-                batch["gt_labels"], batch["gt_masks"].astype(jnp.float32),
+                batch["gt_labels"], batch["gt_masks"].astype(gt_dtype),
                 batch["gt_valid"], cfg.num_classes,
                 num_points=(cfg.num_points if cfg.loss_sampling == "points"
                             else 0),

@@ -161,3 +161,58 @@ def test_trainer_builds_with_match_downsample():
     with pytest.raises(ValueError, match="loss_sampling='dense'"):
         SegmenterTrainer(dc.replace(model, loss_sampling="points"),
                          cfg.train, example_shape=(T, H, W))
+
+
+def test_bf16_mask_logits_knob_parity(rng):
+    """model.mask_logits_dtype='bfloat16' (r5 train-tail probe): losses on
+    bf16 logits + bf16 binary targets with f32-accumulated reductions track
+    the f32 path closely, and assignments on an easy (well-separated) case
+    are identical."""
+    cls, mp, lab, gm, gv = _case(rng)
+    loss32, logs32 = mask2former_loss(
+        jax.random.PRNGKey(0), cls, mp, lab, gm, gv, 6, num_points=0,
+        assigner="lapjv")
+    loss16, logs16 = mask2former_loss(
+        jax.random.PRNGKey(0), cls.astype(jnp.bfloat16),
+        mp.astype(jnp.bfloat16), lab, gm.astype(jnp.bfloat16), gv, 6,
+        num_points=0, assigner="lapjv")
+    assert float(loss16) == pytest.approx(float(loss32), rel=2e-2)
+    for k in logs32:
+        assert float(logs16[k]) == pytest.approx(
+            float(logs32[k]), rel=3e-2, abs=1e-3), k
+
+
+def test_bf16_mask_logits_trainer_step():
+    """The config knob plumbs end-to-end: a trainer step runs with
+    bfloat16 mask logits and produces a finite loss; the model's mask
+    logits actually come out bf16."""
+    import dataclasses as dc
+
+    from openpvsg_tpu.config import mask2former_vps
+    from openpvsg_tpu.models.mask2former import Mask2Former
+    from openpvsg_tpu.train.segmenter import SegmenterTrainer
+
+    cfg = mask2former_vps()
+    model_cfg = dc.replace(
+        cfg.model, num_queries=8, mask_logits_dtype="bfloat16",
+        backbone=dc.replace(cfg.model.backbone, depth=26),
+        pixel_decoder=dc.replace(cfg.model.pixel_decoder, encoder_layers=1),
+        decoder=dc.replace(cfg.model.decoder, num_layers=1))
+    T, H, W = cfg.model.num_frames, 32, 32
+    m = Mask2Former(model_cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, T, H, W, 3)))
+    out = m.apply(v, jnp.zeros((1, T, H, W, 3)))
+    assert out["mask_preds"].dtype == jnp.bfloat16
+
+    trainer = SegmenterTrainer(model_cfg, cfg.train, example_shape=(T, H, W))
+    B, N = 1, 3
+    r = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(r.standard_normal((B, T, H, W, 3)), jnp.float32),
+        "gt_labels": jnp.asarray(r.integers(0, 5, (B, N)), jnp.int32),
+        "gt_masks": jnp.asarray(r.integers(0, 2, (B, N, T, H // 4, W // 4)),
+                                jnp.float32),
+        "gt_valid": jnp.ones((B, N), bool),
+    }
+    logs = trainer.step(batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
