@@ -95,7 +95,22 @@ class Mask2FormerConfig:
     # assignment is a discrete argmin over per-pair mean costs, stable under
     # 2-4x pooling, and the cost matrices are the bandwidth-bound part of
     # the train step (PERF.md r4 MFU) — 1 = exact reference semantics.
+    # MEASURED (r5, benchmarks/r5): quality-neutral at the rich-cascade
+    # operating point (ds=2: PQ 0.5127/VPQ 0.3140 vs baseline 0.5136/0.3169,
+    # within the ±0.08 per-video spread) AND speed-neutral post
+    # layer-batching (79.67 vs 79.78 ms) — measured-and-shelved, keep 1.
     match_downsample: int = 1
+    # dense-mode mask-loss layout: 'query' materializes GT copies at all Q
+    # query slots (reference-shaped; unmatched rows are zero-weighted);
+    # 'target' inverts the assignment and gathers the <=N matched pred rows
+    # instead — exact same summands, less loss-side VALUE traffic at Q=100,
+    # N<=40 (train/losses.py dense_mask_losses_target_layout). MEASURED
+    # (r5, benchmarks/r5/mfu_*tlayout*): NET NEGATIVE in f32 (81.5 vs 79.8
+    # ms N=20; 91.5 vs 89.2 N=40) and a wash under bf16 logits — the
+    # take_along_axis gather/scatter-transpose costs more HBM than the
+    # zero-weighted rows it avoids (XLA fuses those multiplies into the
+    # producing einsum). Kept opt-in as a documented negative result.
+    loss_layout: str = "query"
     # dtype of the per-layer full-res mask LOGITS (and, in the trainer, of
     # the binary GT masks — exact for 0/1 values). 'float32' = reference
     # semantics; 'bfloat16' halves the single largest train-step HBM tensor

@@ -40,6 +40,75 @@ def gather_targets(assigned: jnp.ndarray, gt_labels: jnp.ndarray,
     return labels, tgt_masks, pos
 
 
+def softmax_cls_loss(cls_pred: jnp.ndarray, labels: jnp.ndarray,
+                     num_classes: int, cls_weight: float = 2.0,
+                     bg_cls_weight: float = 0.1) -> jnp.ndarray:
+    """Softmax CE with down-weighted background class; avg_factor is the
+    summed class weight (mmdet CrossEntropyLoss semantics)."""
+    class_weight = jnp.concatenate(
+        [jnp.ones(num_classes), jnp.asarray([bg_cls_weight])])
+    logp = jax.nn.log_softmax(cls_pred, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = class_weight[labels]
+    return cls_weight * (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
+
+
+def invert_assignment(assigned: jnp.ndarray, n_targets: int) -> jnp.ndarray:
+    """(B, Q) target-index-or--1 -> (B, N) assigned QUERY index or -1.
+
+    The assignment is injective per batch item (each target matched by at
+    most one query), so at most one query writes each valid column;
+    unassigned queries write a discarded overflow column."""
+    B, Q = assigned.shape
+    tgt = jnp.where(assigned >= 0, assigned, n_targets)
+    qi = jnp.broadcast_to(jnp.arange(Q, dtype=jnp.int32)[None], (B, Q))
+    inv = jnp.full((B, n_targets + 1), -1, jnp.int32)
+    inv = inv.at[jnp.arange(B)[:, None], tgt].set(qi)
+    return inv[:, :n_targets]
+
+
+def dense_mask_losses_target_layout(
+    assigned: jnp.ndarray,      # (B, Q) target index or -1
+    mask_pred: jnp.ndarray,     # (B, Q, T, H, W) logits
+    gt_masks: jnp.ndarray,      # (B, N, T, H, W) binary
+    gt_valid: jnp.ndarray,      # (B, N)
+    num_total_masks: jnp.ndarray,
+    mask_weight: float = 5.0,
+    dice_weight: float = 5.0,
+) -> Dict[str, jnp.ndarray]:
+    """Dense-mode loss_mask/loss_dice in TARGET layout (r5 train-tail probe,
+    loss_layout='target').
+
+    The query layout gathers GT masks to all Q query slots and multiplies
+    the unmatched rows by zero — for Q=100, N<=40 that is >2x wasted HBM
+    traffic on the train step's largest tensors. Here the assignment is
+    INVERTED and the <=N matched prediction rows are gathered instead; the
+    summand set is identical (unmatched queries contributed exactly 0), so
+    the losses are exact up to fp reduction order."""
+    B, Q = assigned.shape
+    N = gt_valid.shape[1]
+    inv = invert_assignment(assigned, N)
+    valid = (inv >= 0) & gt_valid
+    mp = jnp.take_along_axis(mask_pred.reshape(B, Q, -1),
+                             jnp.maximum(inv, 0)[..., None], axis=1)
+    mt = gt_masks.reshape(B, N, -1)
+    P = mp.shape[-1]
+    w = valid.astype(jnp.float32)
+
+    bce = jnp.maximum(mp, 0) - mp * mt + jnp.log1p(jnp.exp(-jnp.abs(mp)))
+    loss_mask = mask_weight * (bce * w[..., None]).sum(
+        dtype=jnp.float32) / jnp.maximum(num_total_masks * P, 1.0)
+
+    pred = jax.nn.sigmoid(mp)
+    numer = 2.0 * (pred * mt).sum(-1, dtype=jnp.float32)
+    denom = (pred.sum(-1, dtype=jnp.float32)
+             + mt.sum(-1, dtype=jnp.float32))
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    loss_dice = dice_weight * (dice * w).sum(
+        dtype=jnp.float32) / jnp.maximum(num_total_masks, 1.0)
+    return {"loss_mask": loss_mask, "loss_dice": loss_dice}
+
+
 def mask2former_layer_loss(
     rng: jax.Array,
     cls_pred: jnp.ndarray,     # (B, Q, K+1)
@@ -58,14 +127,8 @@ def mask2former_layer_loss(
     bg_cls_weight: float = 0.1,
 ) -> Dict[str, jnp.ndarray]:
     B, Q, T, H, W = mask_pred.shape
-
-    # ---- classification
-    class_weight = jnp.concatenate(
-        [jnp.ones(num_classes), jnp.asarray([bg_cls_weight])])
-    logp = jax.nn.log_softmax(cls_pred, axis=-1)
-    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
-    w = class_weight[labels]
-    loss_cls = cls_weight * (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
+    loss_cls = softmax_cls_loss(cls_pred, labels, num_classes,
+                                cls_weight, bg_cls_weight)
 
     # ---- mask losses. dense mode (num_points <= 0): every pixel, exact,
     # matmul/elementwise only. points mode: the reference's uncertainty-
@@ -173,6 +236,9 @@ def mask2former_loss(
     focal_alpha: float = 0.25,
     assigner: str = "hungarian",
     match_downsample: int = 1,
+    loss_layout: str = "query",  # 'target' gathers matched pred rows
+                                 # instead of materializing (B, Q, ...) GT
+                                 # copies — dense mode only, exact
     sem_seg_logits: jnp.ndarray | None = None,   # (B, T, H, W, K+1)
     gt_semantic: jnp.ndarray | None = None,      # (B, T, H, W) int32
     sem_seg_weight: float = 1.0,
@@ -201,15 +267,38 @@ def mask2former_loss(
         num_stuff_classes if split_thing_stuff else None,
         method=assigner, match_downsample=match_downsample)
 
+    if loss_layout == "target" and num_points > 0:
+        raise ValueError("loss_layout='target' requires dense mode "
+                         "(loss_sampling='dense'): point sampling needs the "
+                         "per-query layout")
+
     total = 0.0
     logs: Dict[str, jnp.ndarray] = {}
     for layer in range(L):
         _, r_pts = jax.random.split(jax.random.fold_in(rng, layer))
-        labels, tgt_masks, pos = gather_targets(
-            assigned_all[layer], gt_labels, gt_masks, num_classes)
-        losses = mask2former_layer_loss(
-            r_pts, cls_preds[layer], mask_preds[layer], labels, tgt_masks,
-            pos, num_total_masks, num_classes, num_points=num_points, **kw)
+        assigned = assigned_all[layer]
+        if loss_layout == "target":
+            # labels per query (tiny gather); mask losses in target layout
+            pos = assigned >= 0
+            labels = jnp.where(
+                pos, jnp.take_along_axis(gt_labels,
+                                         jnp.maximum(assigned, 0), axis=1),
+                num_classes)
+            losses = dense_mask_losses_target_layout(
+                assigned, mask_preds[layer], gt_masks, gt_valid,
+                num_total_masks,
+                mask_weight=kw.get("mask_weight", 5.0),
+                dice_weight=kw.get("dice_weight", 5.0))
+            losses["loss_cls"] = softmax_cls_loss(
+                cls_preds[layer], labels, num_classes,
+                kw.get("cls_weight", 2.0), kw.get("bg_cls_weight", 0.1))
+        else:
+            labels, tgt_masks, pos = gather_targets(
+                assigned, gt_labels, gt_masks, num_classes)
+            losses = mask2former_layer_loss(
+                r_pts, cls_preds[layer], mask_preds[layer], labels,
+                tgt_masks, pos, num_total_masks, num_classes,
+                num_points=num_points, **kw)
         if focal:
             losses["loss_cls"] = focal_cls_loss(
                 cls_preds[layer], labels, num_classes,

@@ -157,6 +157,15 @@ def check_assigner_capacity(cfg: Mask2FormerConfig, max_instances: int,
             "(point-rend matching already subsamples; pooling on top of it "
             "would double-approximate). Set model.loss_sampling='dense' or "
             "model.match_downsample=1.")
+    if cfg.loss_layout not in ("query", "target"):
+        raise ValueError(
+            f"model.loss_layout must be 'query' or 'target', got "
+            f"{cfg.loss_layout!r}")
+    if cfg.loss_layout == "target" and cfg.loss_sampling == "points":
+        raise ValueError(
+            "model.loss_layout='target' requires loss_sampling='dense' "
+            "(point sampling needs the per-query layout). Set "
+            "model.loss_sampling='dense' or model.loss_layout='query'.")
 
 
 @flax.struct.dataclass
@@ -213,8 +222,10 @@ class SegmenterTrainer:
         model = self.model
         tx = self.tx
         assigner = self.assigner = resolve_assigner(cfg)
-        if cfg.match_downsample < 1 or (cfg.match_downsample != 1
-                                        and cfg.loss_sampling == "points"):
+        if (cfg.match_downsample < 1
+                or (cfg.match_downsample != 1
+                    and cfg.loss_sampling == "points")
+                or cfg.loss_layout != "query"):
             check_assigner_capacity(cfg, 0)  # raises the config-time error
 
         mean = jnp.asarray(self.norm_mean, jnp.float32)
@@ -254,6 +265,7 @@ class SegmenterTrainer:
                 bg_cls_weight=cfg.bg_cls_weight,
                 assigner=assigner,
                 match_downsample=cfg.match_downsample,
+                loss_layout=cfg.loss_layout,
                 split_thing_stuff=cfg.split_thing_stuff,
                 num_things_classes=cfg.num_things_classes,
                 num_stuff_classes=cfg.num_stuff_classes,

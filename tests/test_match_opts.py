@@ -216,3 +216,57 @@ def test_bf16_mask_logits_trainer_step():
     }
     logs = trainer.step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(logs["loss"]))
+
+
+@pytest.mark.parametrize("method", ["lapjv", "greedy"])
+def test_target_layout_loss_parity(rng, method):
+    """loss_layout='target' (r5): identical assignments feed both layouts,
+    and every per-layer loss term matches the query layout to fp-order
+    tolerance (the summand sets are identical by construction)."""
+    cls, mp, lab, gm, gv = _case(rng)
+    kw = dict(num_points=0, assigner=method)
+    loss_q, logs_q = mask2former_loss(jax.random.PRNGKey(0), cls, mp, lab,
+                                      gm, gv, 6, loss_layout="query", **kw)
+    loss_t, logs_t = mask2former_loss(jax.random.PRNGKey(0), cls, mp, lab,
+                                      gm, gv, 6, loss_layout="target", **kw)
+    np.testing.assert_allclose(float(loss_t), float(loss_q), rtol=1e-5)
+    for k in logs_q:
+        np.testing.assert_allclose(float(logs_t[k]), float(logs_q[k]),
+                                   rtol=1e-4, atol=1e-7, err_msg=k)
+
+
+def test_target_layout_grads_match(rng):
+    """Gradients through the target layout match the query layout (the
+    take_along_axis transpose scatter must hit the same pred rows)."""
+    cls, mp, lab, gm, gv = _case(rng, L=2)
+
+    def make_loss(layout):
+        def f(mp_):
+            loss, _ = mask2former_loss(jax.random.PRNGKey(0), cls, mp_, lab,
+                                       gm, gv, 6, num_points=0,
+                                       assigner="lapjv", loss_layout=layout)
+            return loss
+        return f
+
+    g_q = jax.grad(make_loss("query"))(mp)
+    g_t = jax.grad(make_loss("target"))(mp)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_q),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_target_layout_guards():
+    import dataclasses as dc
+
+    from openpvsg_tpu.config import mask2former_vps
+    from openpvsg_tpu.train.segmenter import check_assigner_capacity
+
+    cfg = mask2former_vps().model
+    with pytest.raises(ValueError, match="per-query layout"):
+        check_assigner_capacity(
+            dc.replace(cfg, loss_layout="target", loss_sampling="points"),
+            0, platform="cpu")
+    with pytest.raises(ValueError, match="'query' or 'target'"):
+        check_assigner_capacity(dc.replace(cfg, loss_layout="bogus"), 0,
+                                platform="cpu")
+    check_assigner_capacity(dc.replace(cfg, loss_layout="target"), 0,
+                            platform="cpu")
