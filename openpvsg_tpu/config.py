@@ -117,7 +117,11 @@ class Mask2FormerConfig:
     # (the (L, B, Q, T, H/4, W/4) deep-supervision logits + its gradient)
     # — einsum accumulation stays f32 (preferred_element_type) and every
     # loss reduction accumulates f32 (train/losses.py), so only the HBM
-    # round-trip is bf16. A/B'd in PERF.md r5.
+    # round-trip is bf16. MEASURED (r5): 75.1 vs 79.8 ms N=20 / 86.0 vs
+    # 89.2 ms N=40 (benchmarks/r5/mfu_*_bf16.json) but quality-NEGATIVE on
+    # the rich-cascade parity run — PQ 0.424 vs 0.514 on identical
+    # data+seed (benchmarks/r5/bf16_quality.json), the loss landing on the
+    # thing branch. Stays opt-in; default float32.
     mask_logits_dtype: str = "float32"
     # serving-only: store backbone + pixel-decoder kernels int8 in HBM with
     # per-output-channel scales, dequantized inside the jitted forward
