@@ -64,8 +64,8 @@ EOF
     echo "=== [s$S] capacity grid: $VARIANTS x $CAPS, $EPOCHS epochs ==="
     python tools/rel_capacity_study.py --data-dir "$D" --anno-file "$A" \
       --work-dir "$W" --epochs "$EPOCHS" --seed "$SEED" \
-      --variants "$VARIANTS" --capacities "$CAPS" --eval-train \
-      --out "$W/capacity_s$S.json" > "$W/grid.log" 2>&1
+      --variants "$VARIANTS" --capacities "$CAPS" --eval-train --resume \
+      --out "$W/capacity_s$S.json" >> "$W/grid.log" 2>&1
     touch "$W/done_grid"
   fi
   echo "--- [s$S] grid ---"; tail -n 20 "$W/grid.log"

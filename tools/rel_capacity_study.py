@@ -70,6 +70,11 @@ def main():
                              "fit the mapping; high train / low val = "
                              "generalization is data-starved)")
     parser.add_argument("--out", default="capacity_study.json")
+    parser.add_argument("--resume", action="store_true",
+                        help="reuse finished cells from <out>.partial.jsonl "
+                             "instead of truncating it — a killed grid run "
+                             "(the full grid takes hours) restarts at the "
+                             "first unfinished cell")
     args = parser.parse_args()
     reject_unused_n_time(args)
     cfg = load_config(args)
@@ -104,11 +109,25 @@ def main():
     logger.info(f"relation counts: {relation_count.astype(int).tolist()}")
 
     # truncate the streaming file once: otherwise re-running with the same
-    # --out mixes stale cells from a previous (possibly killed) run
-    open(args.out + ".partial.jsonl", "w").close()
+    # --out mixes stale cells from a previous (possibly killed) run.
+    # With --resume the finished cells are reloaded and skipped instead
+    # (cells from a different grid spec stay in the file but are ignored).
+    done: dict[tuple[str, str], dict] = {}
+    if args.resume and os.path.exists(args.out + ".partial.jsonl"):
+        with open(args.out + ".partial.jsonl") as f:
+            for line in f:
+                c = json.loads(line)
+                done[(c["variant"], c["capacity"])] = c
+        logger.info(f"--resume: {len(done)} finished cells reloaded")
+    else:
+        open(args.out + ".partial.jsonl", "w").close()
     cells = []
     for variant in args.variants.split(","):
         for cap_name in args.capacities.split(","):
+            if (variant, cap_name) in done:
+                cells.append(done[(variant, cap_name)])
+                logger.info(f"skip finished cell {variant}/{cap_name}")
+                continue
             rel_cfg = dataclasses.replace(
                 cfg.relation, model_name=variant, num_relations=n_rel,
                 accumulation_steps=args.accum, **CAPACITIES[cap_name])
