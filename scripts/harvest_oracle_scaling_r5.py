@@ -24,7 +24,10 @@ def main() -> None:
                   "at 24/48/96 train videos subset from the SAME 96-video "
                   "rich generation (seed 0) as benchmarks/r5/scaling.json; "
                   "fixed 8-video val set; 40 epochs; --eval-train splits "
-                  "memorization from generalization",
+                  "memorization from generalization. NOTE: train_s is "
+                  "incidental wall time — the s96 grid shared the chip "
+                  "with the cascade study (scaling_r5.sh), so only quality "
+                  "metrics are comparable across scales, not train_s",
         "scales": {},
         "cells": {},
     }

@@ -227,3 +227,20 @@ def test_rel_capacity_study_cli(tmp_path):
     with open(out + ".partial.jsonl") as f:
         partial = [json.loads(l) for l in f]
     assert [c["variant"] for c in partial] == ["vanilla"]
+
+    # --resume reloads finished cells from the partial JSONL instead of
+    # retraining them: the rerun must reuse the identical cell dict and
+    # must not append a duplicate to the partial file
+    run("rel_capacity_study.py", "--data-dir", data, "--anno-file",
+        anno, "--work-dir", work, "--variants", "vanilla",
+        "--capacities", "tiny", "--epochs", "1", "--out", out, "--resume")
+    study2 = json.loads(open(out).read())
+    assert study2["cells"] == study["cells"]
+    with open(out + ".partial.jsonl") as f:
+        assert len([json.loads(l) for l in f]) == 1
+    # without --resume the partial file is truncated and the cell retrains
+    run("rel_capacity_study.py", "--data-dir", data, "--anno-file",
+        anno, "--work-dir", work, "--variants", "vanilla",
+        "--capacities", "tiny", "--epochs", "1", "--out", out)
+    with open(out + ".partial.jsonl") as f:
+        assert len([json.loads(l) for l in f]) == 1
