@@ -166,6 +166,12 @@ def check_assigner_capacity(cfg: Mask2FormerConfig, max_instances: int,
             "model.loss_layout='target' requires loss_sampling='dense' "
             "(point sampling needs the per-query layout). Set "
             "model.loss_sampling='dense' or model.loss_layout='query'.")
+    if cfg.mask_logits_dtype not in ("float32", "bfloat16"):
+        # the knob is consumed by string equality in the model AND the
+        # trainer — a typo like 'bf16' would silently run float32
+        raise ValueError(
+            f"model.mask_logits_dtype must be 'float32' or 'bfloat16', "
+            f"got {cfg.mask_logits_dtype!r}")
 
 
 @flax.struct.dataclass

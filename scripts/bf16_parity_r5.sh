@@ -29,12 +29,21 @@ if [ ! -f "$W/done_train" ]; then
     --auto-resume --set $OVR >> "$W/train.log" 2>&1
   touch "$W/done_train"
 fi
+# two eval arms on the SAME checkpoint: as-trained (bf16 mask logits at
+# eval too, what a user of the knob gets) and eval-forced-f32 — the knob
+# lands in the dumped config.json, so without the override the A/B would
+# conflate train-time and eval-time rounding (r5 review finding)
 for EV in PQ VPQ; do
   OPENPVSG_PLATFORM=cpu python tools/test.py --config "$W/$NAME/config.json" \
     --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
     --checkpoint "$CKPT" --split val --eval $EV \
     > "$W/eval_$(echo $EV | tr A-Z a-z).log" 2>&1
+  OPENPVSG_PLATFORM=cpu python tools/test.py --config "$W/$NAME/config.json" \
+    --data-dir "$D" --anno-file "$D/pvsg.json" --work-dir "$W" \
+    --checkpoint "$CKPT" --split val --eval $EV \
+    --set model.mask_logits_dtype=float32 \
+    > "$W/eval_$(echo $EV | tr A-Z a-z)_f32eval.log" 2>&1
 done
-tail -1 "$W/eval_pq.log"
-tail -1 "$W/eval_vpq.log"
+tail -1 "$W/eval_pq.log" "$W/eval_pq_f32eval.log"
+tail -1 "$W/eval_vpq.log" "$W/eval_vpq_f32eval.log"
 echo "bf16_parity_r5 DONE"

@@ -9,36 +9,11 @@ and writes benchmarks/r5/scaling.json.
 
 Usage: python scripts/harvest_scaling_r5.py [ROOT] [OUT]
 """
-import ast
 import json
-import re
 import sys
 from pathlib import Path
 
-
-def last_dict(path: Path) -> dict:
-    """The eval tools print a python dict literal as their final summary."""
-    out = None
-    for line in path.read_text().splitlines():
-        s = line.strip()
-        if s.startswith("{") and s.endswith("}"):
-            out = ast.literal_eval(s)
-    if out is None:
-        raise SystemExit(f"no summary dict in {path}")
-    return out
-
-
-def recall_table(path: Path) -> dict:
-    """Parse `[Soft ][Weak ][Mean ]Recall@K: v` lines -> flat dict."""
-    table = {}
-    pat = re.compile(r"^((?:Soft )?(?:Weak )?(?:Mean )?Recall@\d+): ([\d.]+)")
-    for line in path.read_text().splitlines():
-        m = pat.match(line.strip())
-        if m:
-            table[m.group(1)] = float(m.group(2))
-    if not table:
-        raise SystemExit(f"no recall lines in {path}")
-    return table
+from harvest_common import last_dict, recall_table
 
 
 def main() -> None:

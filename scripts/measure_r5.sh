@@ -20,7 +20,9 @@ if [ -f /tmp/cascade.pid ]; then
   while kill -0 "$(cat /tmp/cascade.pid)" 2>/dev/null; do sleep 20; done
 fi
 
-run() { echo "=== $(date +%H:%M:%S) $* ==="; timeout 2400 "$@" || echo "FAILED: $*"; }
+# header + failure notes go to stderr: two run() targets redirect stdout
+# into benchmarks/*.json, which must stay parseable single-line JSON
+run() { echo "=== $(date +%H:%M:%S) $* ===" >&2; timeout 2400 "$@" || echo "FAILED: $*" >&2; }
 
 # -- 1+2: MFU battery
 run python tools/mfu_report.py --mode train --train-instances 20 \

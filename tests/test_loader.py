@@ -134,6 +134,11 @@ def test_assigner_capacity_guard():
     import dataclasses
     hung = dataclasses.replace(cfg, assigner="hungarian")
     check_assigner_capacity(hung, max_instances=20, platform="tpu")
+    # string-equality knobs must reject typos at config time, not fall
+    # back silently (mask_logits_dtype='bf16' would run float32)
+    bad = dataclasses.replace(cfg, mask_logits_dtype="bf16")
+    with pytest.raises(ValueError, match="mask_logits_dtype"):
+        check_assigner_capacity(bad, max_instances=10, platform="cpu")
 
 
 def test_instance_postprocess(rng):

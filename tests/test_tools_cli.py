@@ -244,3 +244,12 @@ def test_rel_capacity_study_cli(tmp_path):
         "--capacities", "tiny", "--epochs", "1", "--out", out)
     with open(out + ".partial.jsonl") as f:
         assert len([json.loads(l) for l in f]) == 1
+    # --resume under a DIFFERENT run spec must retrain, not publish the
+    # stale cell: the 2-epoch rerun appends a fresh cell
+    run("rel_capacity_study.py", "--data-dir", data, "--anno-file",
+        anno, "--work-dir", work, "--variants", "vanilla",
+        "--capacities", "tiny", "--epochs", "2", "--out", out, "--resume")
+    study3 = json.loads(open(out).read())
+    assert study3["cells"][0]["run_spec"]["epochs"] == 2
+    with open(out + ".partial.jsonl") as f:
+        assert len([json.loads(l) for l in f]) == 2

@@ -112,12 +112,19 @@ def main():
     # --out mixes stale cells from a previous (possibly killed) run.
     # With --resume the finished cells are reloaded and skipped instead
     # (cells from a different grid spec stay in the file but are ignored).
+    spec = {"epochs": args.epochs, "seed": args.seed, "accum": args.accum,
+            "eval_train": bool(args.eval_train)}
     done: dict[tuple[str, str], dict] = {}
     if args.resume and os.path.exists(args.out + ".partial.jsonl"):
         with open(args.out + ".partial.jsonl") as f:
             for line in f:
                 c = json.loads(line)
-                done[(c["variant"], c["capacity"])] = c
+                # only reuse cells trained under the SAME run spec — a
+                # stale smoke run's 1-epoch cell must not be published as
+                # a 40-epoch result (cells predating the spec stamp are
+                # retrained too)
+                if c.get("run_spec") == spec:
+                    done[(c["variant"], c["capacity"])] = c
         logger.info(f"--resume: {len(done)} finished cells reloaded")
     else:
         open(args.out + ".partial.jsonl", "w").close()
@@ -156,6 +163,7 @@ def main():
                 rel_cfg.num_top_pairs, val_ds.relations)
             cell = {
                 "variant": variant, "capacity": cap_name,
+                "run_spec": spec,
                 "params": n_params,
                 "train_s": round(train_s, 1),
                 "loss_first": round(losses[0], 3),
