@@ -344,8 +344,11 @@ def stress_stage3_protocol(report, sections, root, n_frames=380, h=360,
         r = orig_viou(gt_set, pred_set, gt_tubes)
         stats["s"] += time.perf_counter() - t0
         stats["calls"] += 1
+        # mirror the real loop's skip exactly: frames at or past EITHER
+        # len(gt_tubes) or len(pred_span) never call gt_tubes.mask()
+        limit = min(len(gt_tubes), len(pred_set[2]))
         stats["gt_frame_lookups"] += sum(
-            min(e + 1, len(gt_tubes)) - min(s, len(gt_tubes))
+            max(0, min(e + 1, limit) - min(s, limit))
             for s, e in gt_set[2])
         return r
 
