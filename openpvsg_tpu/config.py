@@ -304,6 +304,24 @@ def relation_conv_interact() -> PVSGConfig:
     )
 
 
+def relation_conv_large() -> PVSGConfig:
+    """The data-rich twin of ``relation_conv_interact``: same tripled
+    conv-head capacity, WITHOUT the pair-interaction input. The round-5
+    oracle-tube data-scaling study (benchmarks/r5/oracle_scaling.json,
+    DEMO.md) shows pair_interaction is a small-data prior — it wins at
+    24-48 training videos, but at 96 videos plain conv/large overtakes
+    it (val R@20 27.4 vs 24.8) with half the parameters. Prefer this
+    preset when per-predicate training data is plentiful."""
+    return PVSGConfig(
+        name="relation_conv_large",
+        relation=RelationHeadConfig(
+            model_name="conv",
+            encoder_layers=3, encoder_ffn=1024,
+            temporal_layers=2, temporal_heads=8, temporal_ffn=1024,
+        ),
+    )
+
+
 def mask2former_swin(video: bool = True) -> PVSGConfig:
     """Swin-T backbone variant of the VPS segmenter."""
     return PVSGConfig(
@@ -327,6 +345,7 @@ PRESETS = {
     "relation_conv": lambda: relation_head("conv"),
     "relation_transformer": lambda: relation_head("transformer"),
     "relation_conv_interact": relation_conv_interact,
+    "relation_conv_large": relation_conv_large,
 }
 
 
