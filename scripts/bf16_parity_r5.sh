@@ -44,6 +44,6 @@ for EV in PQ VPQ; do
     --set model.mask_logits_dtype=float32 \
     > "$W/eval_$(echo $EV | tr A-Z a-z)_f32eval.log" 2>&1
 done
-tail -1 "$W/eval_pq.log" "$W/eval_pq_f32eval.log"
-tail -1 "$W/eval_vpq.log" "$W/eval_vpq_f32eval.log"
+tail -n 1 "$W/eval_pq.log" "$W/eval_pq_f32eval.log"
+tail -n 1 "$W/eval_vpq.log" "$W/eval_vpq_f32eval.log"
 echo "bf16_parity_r5 DONE"

@@ -41,6 +41,6 @@ for EV in PQ VPQ; do
     --checkpoint "$CKPT" --split val --eval $EV \
     > "$W/eval_$(echo $EV | tr A-Z a-z).log" 2>&1
 done
-tail -1 "$W/eval_pq.log"
-tail -1 "$W/eval_vpq.log"
+tail -n 1 "$W/eval_pq.log"
+tail -n 1 "$W/eval_vpq.log"
 echo "ds2_parity_r4 DONE"

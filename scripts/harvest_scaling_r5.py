@@ -22,18 +22,29 @@ def main() -> None:
                else "benchmarks/r5/scaling.json")
     study = {
         "script": "scripts/scaling_r5.sh",
-        "design": "Swin-T + conv_interact; 24/48/96 train videos subset "
+        "design": "Swin-T + conv_interact; train videos subset "
                   "from ONE 96-video rich synthetic generation (seed 0) so "
                   "the 8-video val set is identical across arms; everything "
-                  "else (model, 60+40 epochs, LR, seed) held fixed",
+                  "else (model, epochs, LR, seed) held fixed — per-arm "
+                  "epoch counts recorded below",
         "arms": {},
     }
     for d in sorted(root.glob("s*"), key=lambda p: int(p.name[1:])):
         if not (d / "done_rel").exists():
             print(f"skipping {d.name}: not finished")
             continue
+
+        def _epochs(pattern):
+            # the final checkpoint dir is epoch_<N>; record N per stage so
+            # the artifact documents the actual budget the arm trained with
+            nums = [int(p.name.split("_")[1]) for p in d.glob(pattern)
+                    if p.name.split("_")[1].isdigit()]
+            return max(nums) if nums else None
+
         study["arms"][d.name] = {
             "train_videos": int(d.name[1:]),
+            "stage1_epochs": _epochs("mask2former_swin_vps/epoch_*"),
+            "relation_epochs": _epochs("relation/rel_vps_conv_lr*/epoch_*"),
             "stage1_pq": last_dict(d / "eval_pq.log"),
             "stage1_vpq": last_dict(d / "eval_vpq.log"),
             "proxy": recall_table(d / "rel_test.log"),

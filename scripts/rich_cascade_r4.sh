@@ -74,7 +74,7 @@ for BK in r26 swin; do
       --checkpoint "$CKPT" --split val --eval VPQ > "$W/eval_vpq.log" 2>&1
     touch "$W/done_eval1"
   fi
-  tail -3 "$W/eval_pq.log" "$W/eval_vpq.log" || true
+  tail -n 3 "$W/eval_pq.log" "$W/eval_vpq.log" || true
 
   if [ ! -f "$W/done_tubes" ]; then
     echo "=== [$BK] stage 2: tube extraction (train + val) ==="
@@ -123,8 +123,8 @@ relation.temporal_ffn=1024"
         --mark "${BK}_${HEAD}" > "$W/rel_test_full_$HEAD.log" 2>&1
       touch "$W/done_rel_$HEAD"
     fi
-    echo "--- [$BK/$HEAD] proxy ---"; tail -12 "$W/rel_test_$HEAD.log"
-    echo "--- [$BK/$HEAD] protocol ---"; tail -12 "$W/rel_test_full_$HEAD.log"
+    echo "--- [$BK/$HEAD] proxy ---"; tail -n 12 "$W/rel_test_$HEAD.log" || true
+    echo "--- [$BK/$HEAD] protocol ---"; tail -n 12 "$W/rel_test_full_$HEAD.log" || true
   done
 done
 echo "rich_cascade_r4 DONE"

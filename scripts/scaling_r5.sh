@@ -91,7 +91,7 @@ for S in $SCALES; do
       --checkpoint "$CKPT" --split val --eval VPQ > "$W/eval_vpq.log" 2>&1
     touch "$W/done_eval1"
   fi
-  tail -3 "$W/eval_pq.log" "$W/eval_vpq.log" || true
+  tail -n 3 "$W/eval_pq.log" "$W/eval_vpq.log" || true
 
   if [ ! -f "$W/done_tubes" ]; then
     echo "=== [s$S] stage 2: tube extraction (train + val) ==="
@@ -129,7 +129,7 @@ for S in $SCALES; do
       --mark "s$S" > "$W/rel_test_full.log" 2>&1
     touch "$W/done_rel"
   fi
-  echo "--- [s$S] proxy ---"; tail -12 "$W/rel_test.log"
-  echo "--- [s$S] protocol ---"; tail -12 "$W/rel_test_full.log"
+  echo "--- [s$S] proxy ---"; tail -n 12 "$W/rel_test.log" || true
+  echo "--- [s$S] protocol ---"; tail -n 12 "$W/rel_test_full.log" || true
 done
 echo "scaling_r5 DONE"
